@@ -1,0 +1,117 @@
+"""Codec registry: encode/decode any supported Arrow array with any codec.
+
+The registry layers two concerns the reference keeps in its page reader:
+
+- **nulls** — the reference reconstructs nulls from definition levels
+  (/root/reference/src/parquet/rowGroupReader.zig:292-328, def < max → null);
+  we store a validity stream RLE/bit-packed (bit width 1 — the same hybrid
+  the reference uses for def levels) and scatter on decode via an Arrow
+  null-masked take.
+- **outer block compression** — the reference stacks a block decompressor
+  under every page (/root/reference/src/parquet/rowGroupReader.zig:330-370,
+  snappy/gzip/zstd/lz4); we optionally wrap the encoded blob with a pyarrow
+  block codec, kept only when it actually shrinks the blob.
+
+Blob layout: [validity (if any)] [codec payload (possibly outer-compressed)].
+All metadata needed for decode lives in the JSON-serializable ``meta`` dict —
+the role of the reference's ColumnMetaData
+(/root/reference/src/generated/parquet.zig:382-419).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import pyarrow as pa
+
+from . import bitpack, delta_for, delta_length, dictionary, dtypes, fsst, plain, rle_bitpack
+from .rle_bitpack import decode_u64, encode_u64
+
+CODEC_NAMES = ("plain", "rle", "bitpack", "dict", "delta", "for", "delta_length", "fsst")
+
+_ENCODERS = {
+    "plain": plain.encode,
+    "rle": rle_bitpack.encode,
+    "bitpack": bitpack.encode,
+    "dict": dictionary.encode,
+    "delta": functools.partial(delta_for.encode, mode="delta"),
+    "for": functools.partial(delta_for.encode, mode="for"),
+    "delta_length": delta_length.encode,
+    "fsst": fsst.encode,
+}
+
+_DECODERS = {
+    "plain": plain.decode,
+    "rle": rle_bitpack.decode,
+    "bitpack": bitpack.decode,
+    "dict": dictionary.decode,
+    "delta": delta_for.decode,
+    "for": delta_for.decode,
+    "delta_length": delta_length.decode,
+    "fsst": fsst.decode,
+}
+
+OUTER_KEEP_RATIO = 0.95  # keep outer compression only if ≥5% savings
+
+
+def _combine(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
+    if isinstance(arr, pa.ChunkedArray):
+        return arr.combine_chunks()
+    return arr
+
+
+def encode_column(
+    arr: pa.Array | pa.ChunkedArray,
+    codec: str,
+    outer: str | None = "auto",
+) -> tuple[bytes, dict]:
+    """Encode one column chunk. Returns (blob, meta); meta is JSON-safe."""
+    arr = _combine(arr)
+    n = len(arr)
+    meta: dict = {"codec": codec, "n": n}
+    validity_blob = b""
+    if arr.null_count:
+        valid = ~np.asarray(arr.is_null())
+        validity_blob, _ = encode_u64(valid.astype(np.uint64), width=1)
+        meta["null_count"] = arr.null_count
+        meta["validity_len"] = len(validity_blob)
+        arr = arr.drop_null()
+    payload, cmeta = _ENCODERS[codec](arr)
+    meta["codec_meta"] = cmeta
+    if outer == "auto":
+        outer = "zstd"
+    if outer and len(payload) > 64:
+        codec_obj = pa.Codec(outer)
+        compressed = codec_obj.compress(payload, asbytes=True)
+        if len(compressed) < OUTER_KEEP_RATIO * len(payload):
+            meta["outer"] = {"codec": outer, "orig": len(payload)}
+            payload = compressed
+    return validity_blob + payload, meta
+
+
+def decode_column(blob, meta: dict) -> pa.Array:
+    n = meta["n"]
+    mv = memoryview(blob)
+    n_valid = n
+    valid = None
+    if meta.get("null_count"):
+        vlen = meta["validity_len"]
+        valid = decode_u64(mv[:vlen], n, 1).astype(bool)
+        mv = mv[vlen:]
+        n_valid = int(valid.sum())
+    payload = mv
+    if "outer" in meta:
+        codec_obj = pa.Codec(meta["outer"]["codec"])
+        payload = memoryview(
+            codec_obj.decompress(payload, decompressed_size=meta["outer"]["orig"], asbytes=True)
+        )
+    values = _DECODERS[meta["codec"]](payload, meta["codec_meta"], n_valid)
+    if valid is None:
+        return values
+    # Scatter non-null values back: null-masked take (Arrow-native, no loop),
+    # the vectorized analog of the reference's decodeValues null scatter.
+    idx = np.zeros(n, dtype=np.int64)
+    idx[valid] = np.arange(n_valid)
+    indices = pa.array(idx, type=pa.int64(), mask=~valid)
+    return values.take(indices)

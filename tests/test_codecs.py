@@ -1,0 +1,138 @@
+"""Per-codec round-trip tests, mirroring the reference's fixture matrix
+(FIXTURES.md §F2; reference analogs in /root/reference/src/parquet_testing.zig)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from parzig_spark.codecs import CODEC_NAMES, decode_column, encode_column
+
+RNG = np.random.default_rng(42)
+
+INT_ARRAYS = {
+    "const_int64_1000": pa.array([0] * 1000, pa.int64()),
+    "ascending_jitter": pa.array(
+        (np.arange(5000) * 3 + RNG.integers(0, 5, 5000)).astype(np.int64), pa.int64()
+    ),
+    "narrow_range": pa.array(RNG.integers(1000, 1128, 5000).astype(np.int64), pa.int64()),
+    "lowcard_int": pa.array(RNG.choice([7, 11, 42, -3], 4000).astype(np.int64), pa.int64()),
+    "wide_random": pa.array(RNG.integers(-(2**62), 2**62, 3000, dtype=np.int64), pa.int64()),
+    "wrap_overflow": pa.array(
+        [-(2**63), 2**63 - 1, -(2**63), 2**63 - 1, 0, -1, 1], pa.int64()
+    ),
+    "int32": pa.array(RNG.integers(-1000, 1000, 2000).astype(np.int32), pa.int32()),
+    "single": pa.array([12345], pa.int64()),
+    "empty_int": pa.array([], pa.int64()),
+    "bool_runs": pa.array(([True] * 37 + [False] * 12 + [True] * 3) * 50),
+    "dates": pa.array(RNG.integers(0, 20000, 1000).astype("datetime64[D]")),
+    "timestamps": pa.array(
+        (np.int64(1_600_000_000_000_000) + np.arange(1000) * 1000).view("datetime64[us]")
+    ),
+}
+
+STR_ARRAYS = {
+    "const_string_1000": pa.array(["deadbeefdeadbeefdeadbeefdeadbeefdead"] * 1000),
+    "lowcard_string": pa.array(RNG.choice(["python", "zig", "rust", "go", "java", "c", "md", "json"], 5000).tolist()),
+    "prefix_strings": pa.array([f"apple_banana_mango{i*i}" for i in range(1000)]),
+    "high_entropy": pa.array([RNG.bytes(20).hex() for _ in range(500)]),
+    "unicode_mixed": pa.array(["", "hello", "Zig is fast! 🚀", "café", "你好", "Здравствуй"] * 100),
+    "with_nul_and_crlf": pa.array(["a\x00b", "line1\r\nline2", "\x00\x00", "x" * 70000]),
+    "empty_str": pa.array([], pa.string()),
+    "single_str": pa.array(["only"]),
+    "binary": pa.array([RNG.bytes(i % 50) for i in range(300)], pa.binary()),
+}
+
+FLOAT_ARRAYS = {
+    "float64": pa.array(RNG.normal(size=2000)),
+    "float32": pa.array(RNG.normal(size=2000).astype(np.float32), pa.float32()),
+}
+
+INT_CODECS = ("plain", "rle", "bitpack", "dict", "delta", "for")
+STR_CODECS = ("plain", "dict", "delta_length", "fsst")
+
+
+def _roundtrip(arr, codec, outer="auto"):
+    blob, meta = encode_column(arr, codec, outer=outer)
+    out = decode_column(blob, meta)
+    assert out.cast(arr.type).equals(arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr), (
+        f"{codec} mismatch"
+    )
+    return blob, meta
+
+
+@pytest.mark.parametrize("codec", INT_CODECS)
+@pytest.mark.parametrize("name", list(INT_ARRAYS))
+def test_int_roundtrip(name, codec):
+    _roundtrip(INT_ARRAYS[name], codec)
+
+
+@pytest.mark.parametrize("codec", STR_CODECS)
+@pytest.mark.parametrize("name", list(STR_ARRAYS))
+def test_str_roundtrip(name, codec):
+    _roundtrip(STR_ARRAYS[name], codec)
+
+
+@pytest.mark.parametrize("codec", ("plain", "dict"))
+@pytest.mark.parametrize("name", list(FLOAT_ARRAYS))
+def test_float_roundtrip(name, codec):
+    _roundtrip(FLOAT_ARRAYS[name], codec)
+
+
+@pytest.mark.parametrize("codec", INT_CODECS)
+def test_nulls_int(codec):
+    vals = RNG.integers(0, 100, 1000).astype(np.int64)
+    mask = RNG.random(1000) < 0.2
+    arr = pa.array(vals, pa.int64(), mask=mask)
+    _roundtrip(arr, codec)
+
+
+@pytest.mark.parametrize("codec", STR_CODECS)
+def test_nulls_str(codec):
+    base = ["alpha", "beta", "", "gamma delta", "x" * 500]
+    vals = [base[i % 5] if i % 4 else None for i in range(800)]
+    arr = pa.array(vals, pa.string())
+    _roundtrip(arr, codec)
+
+
+def test_all_null():
+    arr = pa.array([None] * 50, pa.int64())
+    _roundtrip(arr, "plain")
+    _roundtrip(pa.array([None] * 50, pa.string()), "dict")
+
+
+def test_no_outer_compression():
+    arr = STR_ARRAYS["lowcard_string"]
+    blob, meta = _roundtrip(arr, "dict", outer=None)
+    assert "outer" not in meta
+
+
+def test_compression_effectiveness():
+    # dict+rle must crush the constant-string fixture (reference analog:
+    # rle-dict-snappy-checksum, 1000 identical strings,
+    # /root/reference/src/parquet_testing.zig:834-856).
+    arr = STR_ARRAYS["const_string_1000"]
+    blob, _ = encode_column(arr, "dict", outer=None)
+    assert len(blob) < 100  # 36-byte dict + ~10 bytes of RLE indices
+    # delta on sorted ints beats plain by a wide margin.
+    sorted_ints = pa.array(np.arange(100000, dtype=np.int64), pa.int64())
+    dblob, _ = encode_column(sorted_ints, "delta", outer=None)
+    pblob, _ = encode_column(sorted_ints, "plain", outer=None)
+    assert len(dblob) < len(pblob) / 10
+
+
+def test_fsst_compresses_source_code():
+    code = (
+        "def encode(values):\n    for value in values:\n        yield value\n\n"
+        "class Encoder:\n    def __init__(self):\n        self.table = {}\n"
+    ) * 50
+    arr = pa.array([code] * 20)
+    blob, meta = encode_column(arr, "fsst", outer=None)
+    raw = len(code.encode()) * 20
+    assert len(blob) < raw / 2, f"fsst ratio too weak: {len(blob)}/{raw}"
+    assert decode_column(blob, meta).equals(arr)
+
+
+def test_chunked_array_input():
+    chunked = pa.chunked_array([pa.array([1, 2, 3], pa.int64()), pa.array([4, 5], pa.int64())])
+    blob, meta = encode_column(chunked, "rle")
+    assert decode_column(blob, meta).equals(pa.array([1, 2, 3, 4, 5], pa.int64()))

@@ -61,15 +61,47 @@ def _combine(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
     return arr
 
 
+def _default_child_codec(t: pa.DataType) -> str:
+    if pa.types.is_floating(t):
+        return "plain"
+    if pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t):
+        return "dict"
+    return "for"
+
+
 def encode_column(
     arr: pa.Array | pa.ChunkedArray,
     codec: str,
     outer: str | None = "auto",
 ) -> tuple[bytes, dict]:
-    """Encode one column chunk. Returns (blob, meta); meta is JSON-safe."""
+    """Encode one column chunk. Returns (blob, meta); meta is JSON-safe.
+
+    List columns (codec="list") store FOR-coded element counts plus the
+    recursively encoded flattened child — the same lengths+values shape the
+    reference's Dremel list reassembly produces
+    (/root/reference/src/parquet/nestedReader.zig:85-144).
+    """
     arr = _combine(arr)
+    if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type) or codec == "list":
+        n = len(arr)
+        meta = {"codec": "list", "n": n, "large": pa.types.is_large_list(arr.type)}
+        validity_blob = b""
+        if arr.null_count:
+            valid = ~np.asarray(arr.is_null())
+            validity_blob, _ = encode_u64(valid.astype(np.uint64), width=1)
+            meta["null_count"] = arr.null_count
+            meta["validity_len"] = len(validity_blob)
+            arr = arr.drop_null()
+        lengths = pa.array(arr.value_lengths().to_numpy(zero_copy_only=False).astype("int64"))
+        child = arr.flatten()
+        lens_blob, lens_meta = delta_for.encode(lengths, mode="for")
+        child_blob, child_meta = encode_column(child, _default_child_codec(child.type), outer=outer)
+        meta["lens_meta"] = lens_meta
+        meta["child_meta"] = child_meta
+        meta["sections"] = [len(lens_blob), len(child_blob)]
+        return validity_blob + lens_blob + child_blob, meta
     n = len(arr)
-    meta: dict = {"codec": codec, "n": n}
+    meta = {"codec": codec, "n": n}
     validity_blob = b""
     if arr.null_count:
         valid = ~np.asarray(arr.is_null())
@@ -100,6 +132,19 @@ def decode_column(blob, meta: dict) -> pa.Array:
         valid = decode_u64(mv[:vlen], n, 1).astype(bool)
         mv = mv[vlen:]
         n_valid = int(valid.sum())
+    if meta["codec"] == "list":
+        s0, _ = meta["sections"]
+        lengths = delta_for.decode(mv[:s0], meta["lens_meta"], n_valid).to_numpy(zero_copy_only=False)
+        child = decode_column(mv[s0:], meta["child_meta"])
+        offsets = np.zeros(n_valid + 1, dtype="<i8" if meta.get("large") else "<i4")
+        np.cumsum(lengths, out=offsets[1:])
+        cls = pa.LargeListArray if meta.get("large") else pa.ListArray
+        values = cls.from_arrays(pa.array(offsets), child)
+        if valid is None:
+            return values
+        idx = np.zeros(n, dtype=np.int64)
+        idx[valid] = np.arange(n_valid)
+        return values.take(pa.array(idx, type=pa.int64(), mask=~valid))
     payload = mv
     if "outer" in meta:
         codec_obj = pa.Codec(meta["outer"]["codec"])

@@ -12,6 +12,11 @@ plain FOR mode (frame = block min of the values themselves) selected by
 
 Encode/decode are vectorized: per-block packing is grouped by bit width so
 there are at most 65 numpy pack/unpack calls regardless of n.
+
+Extra lever (not in the reference or Parquet): a global (base, gcd-scale)
+extraction before blocking, so e.g. timestamps that are all multiples of a
+day (86400e6 µs) pack as small day ordinals. base is the global signed min;
+scale is the gcd of the min-shifted stream — both exact under wrap.
 """
 
 from __future__ import annotations
@@ -99,6 +104,23 @@ def _decode_blocks(blob, m: int) -> np.ndarray:
     return lanes.reshape(-1)[:m]
 
 
+def _extract_frame(stream: np.ndarray) -> tuple[np.ndarray, int, int]:
+    """Global (base=signed min, scale=gcd) extraction; returns scaled stream.
+
+    base-shifting makes every element a true non-negative magnitude (exact
+    under wrap since signed pairwise differences span < 2^64), after which a
+    gcd > 1 divides out exactly.
+    """
+    if len(stream) == 0:
+        return stream, 0, 1
+    base = int(stream.view(np.int64).min())
+    shifted = stream - _U64(base & 0xFFFFFFFFFFFFFFFF)
+    g = int(np.gcd.reduce(shifted)) or 1
+    if g > 1:
+        shifted = shifted // _U64(g)
+    return shifted, base, g
+
+
 def encode(arr: pa.Array, mode: str = "delta") -> tuple[bytes, dict]:
     token = dtypes.dtype_token(arr.type)
     if dtypes.is_string_like(token) or token in ("float32", "float64"):
@@ -106,26 +128,37 @@ def encode(arr: pa.Array, mode: str = "delta") -> tuple[bytes, dict]:
     lane = dtypes.to_int64_lane(arr).view(_U64)
     meta = {"dtype": token, "mode": mode}
     if mode == "for":
-        return _encode_blocks(lane), meta
-    if len(lane) == 0:
-        return b"", meta
-    first = int(lane[0])
-    deltas = lane[1:] - lane[:-1]  # uint64 wrap-exact diff
-    meta["first"] = first
-    return _encode_blocks(deltas), meta
+        stream = lane
+    else:
+        if len(lane) == 0:
+            return b"", meta
+        meta["first"] = int(lane[0])
+        stream = lane[1:] - lane[:-1]  # uint64 wrap-exact diff
+    scaled, base, g = _extract_frame(stream)
+    if base:
+        meta["base"] = base
+    if g != 1:
+        meta["scale"] = g
+    return _encode_blocks(scaled), meta
 
 
 def decode(blob, meta: dict, n: int) -> pa.Array:
     mode = meta.get("mode", "delta")
-    if mode == "for":
-        lane = _decode_blocks(blob, n).view(np.int64)
-        return dtypes.from_int64_lane(lane, meta["dtype"])
+    m = n if mode == "for" else max(n - 1, 0)
     if n == 0:
         return dtypes.from_int64_lane(np.zeros(0, np.int64), meta["dtype"])
-    deltas = _decode_blocks(blob, n - 1)
+    stream = _decode_blocks(blob, m)
+    g = meta.get("scale", 1)
+    if g != 1:
+        stream = stream * _U64(g)
+    base = meta.get("base", 0)
+    if base:
+        stream = stream + _U64(base & 0xFFFFFFFFFFFFFFFF)
+    if mode == "for":
+        return dtypes.from_int64_lane(stream.view(np.int64), meta["dtype"])
     out = np.empty(n, dtype=_U64)
-    out[0] = _U64(meta["first"])
+    out[0] = _U64(meta["first"] & 0xFFFFFFFFFFFFFFFF)
     if n > 1:
-        np.cumsum(deltas, out=out[1:])  # uint64 cumsum wraps like the reference
-        out[1:] += _U64(meta["first"])
+        np.cumsum(stream, out=out[1:])  # uint64 cumsum wraps like the reference
+        out[1:] += out[0]
     return dtypes.from_int64_lane(out.view(np.int64), meta["dtype"])

@@ -37,15 +37,19 @@ def encode(arr: pa.Array) -> tuple[bytes, dict]:
         "dtype": token,
         "card": card,
         "index_width": width,
-        "values_meta": val_meta,
-        "sections": [len(val_blob), len(idx_blob)],
+        "val_len": len(val_blob),
     }
+    if "len_width" in val_meta:
+        meta["len_width"] = val_meta["len_width"]
     return val_blob + idx_blob, meta
 
 
 def decode(blob, meta: dict, n: int) -> pa.Array:
-    s0, _ = meta["sections"]
-    dict_values = plain.decode(memoryview(blob)[:s0], meta["values_meta"], meta["card"])
+    s0 = meta["val_len"]
+    val_meta = {"dtype": meta["dtype"]}
+    if "len_width" in meta:
+        val_meta["len_width"] = meta["len_width"]
+    dict_values = plain.decode(memoryview(blob)[:s0], val_meta, meta["card"])
     indices = decode_u64(memoryview(blob)[s0:], n, meta["index_width"])
     # np.take-equivalent gather, JVM-free and vectorized in Arrow C++.
     return dict_values.take(pa.array(indices.astype(np.int64)))

@@ -30,7 +30,6 @@ def encode(arr: pa.Array) -> tuple[bytes, dict]:
         else:
             lens_blob = lengths.astype("<u4").tobytes()
             meta["len_width"] = 4
-        meta["sections"] = [len(lens_blob), int(data.nbytes)]
         return lens_blob + data.tobytes(), meta
     if token == "bool":
         phys = dtypes.to_physical(arr)
@@ -42,8 +41,8 @@ def encode(arr: pa.Array) -> tuple[bytes, dict]:
 def decode(blob, meta: dict, n: int) -> pa.Array:
     token = meta["dtype"]
     if dtypes.is_string_like(token):
-        s0, _ = meta["sections"]
         width = meta.get("len_width", 4)
+        s0 = n * width
         lengths = np.frombuffer(blob[:s0], dtype=f"<u{width}").astype(np.int64)
         return dtypes.strings_from_buffers(lengths, np.frombuffer(blob[s0:], dtype=np.uint8), token)
     if token == "bool":

@@ -30,8 +30,15 @@ from .bitio import (
 
 NAME = "rle"
 
-# Runs at least this long are cheaper as RLE than inside a bit-packed span.
-MIN_RLE_RUN = 8
+def _min_rle_run(width: int) -> int:
+    """Run length where an RLE segment beats staying in a bit-packed span.
+
+    An RLE segment costs ~(varint header + ceil(width/8) value bytes) and
+    splits the surrounding span (one more header), so require ~1.5× the
+    break-even run of 8*(1+vbytes)/width bits, floor 8.
+    """
+    vbytes = (width + 7) // 8
+    return max(8, (12 * (1 + vbytes) + width - 1) // width)
 
 
 def encode_u64(values: np.ndarray, width: int | None = None) -> tuple[bytes, int]:
@@ -46,7 +53,7 @@ def encode_u64(values: np.ndarray, width: int | None = None) -> tuple[bytes, int
     change = np.flatnonzero(v[1:] != v[:-1])
     starts = np.concatenate(([0], change + 1))
     run_lens = np.diff(np.concatenate((starts, [n])))
-    is_rle = run_lens >= MIN_RLE_RUN
+    is_rle = run_lens >= _min_rle_run(width)
     out = bytearray()
     vbytes = (width + 7) // 8
     i = 0

@@ -1,0 +1,166 @@
+"""Per-column codec auto-selector from sampled statistics + trial encodes.
+
+The reference has no encoder, hence no selector — this implements the north
+star's requirement: "a per-column codec auto-selector (sampled
+cardinality/run-length/entropy stats) choosing among dict, RLE, FSST,
+bit-pack, and FOR".
+
+Strategy: compute cheap vectorized stats on a bounded sample, shortlist 2–3
+candidate codecs from the stats, then *trial-encode the sample* with each
+candidate and pick the smallest (ties break toward the faster codec). Trial
+encoding makes the choice measurable rather than heuristic — the stats only
+bound how many trials we pay for. Stats and trial sizes are returned so the
+encode manifest can record full lineage per partition-column.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+
+from .codecs import dtypes, encode_column
+
+SAMPLE_VALUES = 4096
+SAMPLE_BYTES = 1 << 18  # cap string sample payload at 256 KiB
+
+# Tie-break preference: earlier = faster/simpler, wins within TIE_TOLERANCE.
+SPEED_ORDER = ("plain", "bitpack", "for", "rle", "delta", "dict", "delta_length", "fsst")
+TIE_TOLERANCE = 1.02
+
+
+def _sample(arr: pa.Array, k: int = SAMPLE_VALUES) -> pa.Array:
+    n = len(arr)
+    if n <= k:
+        return arr
+    # Deterministic stride sample (no RNG: stable across retries, per
+    # SURVEY.md §7 hard-part (d) — idempotent manifests).
+    idx = np.linspace(0, n - 1, k).astype(np.int64)
+    return arr.take(pa.array(idx))
+
+
+def column_stats(arr: pa.Array | pa.ChunkedArray) -> dict:
+    """Sampled stats: cardinality, run length, sortedness, entropy, sizes."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    stats: dict = {"n": n, "null_frac": (arr.null_count / n) if n else 0.0}
+    if n == 0:
+        return stats
+    token = dtypes.dtype_token(arr.type) if not (
+        pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type)
+    ) else "list"
+    stats["dtype"] = token
+    if token == "list":
+        return stats
+    sample = _sample(arr.drop_null() if arr.null_count else arr)
+    m = len(sample)
+    if m == 0:
+        return stats
+    distinct = len(sample.unique())
+    stats["distinct_ratio"] = distinct / m
+    stats["sample_card"] = distinct
+    if dtypes.is_string_like(token):
+        lengths, data = dtypes.string_buffers(sample)
+        data = data[:SAMPLE_BYTES]
+        stats["avg_len"] = float(lengths.mean()) if m else 0.0
+        if len(data):
+            counts = np.bincount(data, minlength=256)
+            p = counts[counts > 0] / len(data)
+            stats["byte_entropy"] = float(-(p * np.log2(p)).sum())
+        else:
+            stats["byte_entropy"] = 0.0
+        same = np.asarray(pa.compute.equal(sample[1:], sample[:-1]), dtype=bool) if m > 1 else np.zeros(0, bool)
+        stats["mean_run_len"] = m / max(1, m - int(same.sum())) if m else 1.0
+    elif token in ("float32", "float64"):
+        pass
+    else:
+        lane = dtypes.to_int64_lane(sample)
+        if m > 1:
+            deltas = lane[1:].astype(np.float64) - lane[:-1].astype(np.float64)
+            stats["sortedness"] = float((deltas >= 0).mean())
+            stats["mean_run_len"] = m / max(1, int((deltas != 0).sum()) + 1)
+        else:
+            stats["sortedness"] = 1.0
+            stats["mean_run_len"] = 1.0
+        span = int(lane.max()) - int(lane.min())
+        stats["range_bits"] = max(1, span).bit_length() if span > 0 else 0
+    return stats
+
+
+def candidate_codecs(stats: dict) -> list[str]:
+    token = stats.get("dtype")
+    if token is None or stats["n"] == 0:
+        return ["plain"]
+    if token == "list":
+        return ["list"]
+    if dtypes.is_string_like(token):
+        cands = []
+        if stats.get("distinct_ratio", 1.0) <= 0.5:
+            cands.append("dict")
+        if stats.get("byte_entropy", 8.0) < 6.5 and stats.get("avg_len", 0) >= 4:
+            cands.append("fsst")
+        cands.append("delta_length")
+        return cands
+    if token in ("float32", "float64"):
+        cands = ["plain"]
+        if stats.get("distinct_ratio", 1.0) <= 0.2:
+            cands.insert(0, "dict")
+        return cands
+    # integer lane
+    cands = []
+    if stats.get("mean_run_len", 1.0) >= 2.0:
+        cands.append("rle")
+    if stats.get("distinct_ratio", 1.0) <= 0.05:
+        cands.append("dict")
+    if stats.get("sortedness", 0.0) >= 0.85:
+        cands.append("delta")
+    if stats.get("range_bits", 64) <= 48:
+        cands.append("for")
+    if not cands:
+        cands.append("plain")
+    return cands
+
+
+def choose_codec(
+    arr: pa.Array | pa.ChunkedArray, outer: str | None = "auto"
+) -> tuple[str, dict]:
+    """Pick the codec by trial-encoding a sample. Returns (codec, lineage)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    stats = column_stats(arr)
+    cands = candidate_codecs(stats)
+    if len(cands) == 1:
+        return cands[0], {"stats": stats, "trials": {}}
+    # Two-point trials: encode a small and a larger sample, extrapolate
+    # linearly to the full column so flat-cost codecs (RLE on long runs)
+    # are not mistaken for per-value-cost ones (bit-pack/FOR) at sample size.
+    nn = len(arr)
+    values = arr.drop_null() if arr.null_count else arr
+    m1, m2 = min(512, nn), min(2048, nn)
+    s_small = _sample(values, m1)
+    s_big = _sample(values, m2)
+    trials: dict[str, int] = {}
+    for codec in cands:
+        try:
+            # Count the serialized meta too — FSST symbol tables and dict
+            # values live there; comparing blobs alone would be unfair.
+            b2, meta2 = encode_column(s_big, codec, outer=outer)
+            size2 = len(b2) + len(json.dumps(meta2).encode())
+            if m2 > m1 and nn > m2:
+                b1, meta1 = encode_column(s_small, codec, outer=outer)
+                size1 = len(b1) + len(json.dumps(meta1).encode())
+                per_value = max(0.0, (size2 - size1) / (m2 - m1))
+                trials[codec] = int(size1 + per_value * (nn - m1))
+            else:
+                trials[codec] = size2
+        except (TypeError, ValueError):
+            continue
+    if not trials:
+        return "plain", {"stats": stats, "trials": {}}
+    best_size = min(trials.values())
+    # Among near-ties, prefer the faster codec.
+    ok = [c for c, s in trials.items() if s <= best_size * TIE_TOLERANCE]
+    ok.sort(key=lambda c: SPEED_ORDER.index(c) if c in SPEED_ORDER else 99)
+    return ok[0], {"stats": stats, "trials": trials}

@@ -1,38 +1,389 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: full encode → manifest → decode → sha256-verify
+round-trip of the sf0.001 tables through the parzig_spark engine, returning
+the per-column compression/verification summary.
+
+``queries()`` / ``oracle_sql()`` — one entry per operator family from
+SURVEY.md §2 (encode/decode round-trips through every codec path, the codec
+selector, relational ops over decoded data) plus the training-data-pipeline
+operators (dedup, similarity search, text analysis, multimodal plumbing).
+Money sums use per-row FLOOR(x*100) ints so Spark and DuckDB hash
+identically (no float-sum order sensitivity).
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from parzig_spark.functions import dedup as ded
+from parzig_spark.functions import multimodal as mm
+from parzig_spark.functions import similarity as sim
+from parzig_spark.functions import text as tx
+from parzig_spark.operators import decode_table, encode_table, verify_roundtrip
+
+STOPWORD_SQL = ",".join(f"'{s}'" for s in tx.STOPWORDS)
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+def _roundtrip(spark: SparkSession, sf_dir: str, table: str, group_cols, salt_cols, size_col=None) -> DataFrame:
+    """Encode a testdata table into a fresh store, decode it back."""
+    src = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    root = tempfile.mkdtemp(prefix=f"parzig_{table}_")
+    encode_table(
+        src,
+        root,
+        group_cols=group_cols,
+        salt_cols=salt_cols,
+        size_col=size_col,
+        target_bytes=32 << 20,
+        resume=False,
+    ).count()  # materialize = run the encode
+    return decode_table(spark, root)
+
+
+def _floor_cents(col):
+    return F.floor(col * 100).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_roundtrip_documents(spark, sf_dir):
+    dec = _roundtrip(spark, sf_dir, "documents", ["lang", "source"], ["doc_id"], "text")
+    return dec.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.sha2("text", 256).alias("text_sha"),
+    )
+
+
+def q_roundtrip_lineitem_q1(spark, sf_dir):
+    dec = _roundtrip(spark, sf_dir, "lineitem", ["l_returnflag", "l_linestatus"], ["l_orderkey"])
+    return (
+        dec.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("count_order"),
+            F.sum(_floor_cents(F.col("l_quantity"))).alias("sum_qty_cents"),
+            F.sum(_floor_cents(F.col("l_extendedprice"))).alias("sum_base_cents"),
+            F.sum(
+                _floor_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("sum_disc_cents"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_roundtrip_orders(spark, sf_dir):
+    dec = _roundtrip(spark, sf_dir, "orders", ["o_orderpriority", "o_orderstatus"], ["o_orderkey"])
+    return (
+        dec.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").alias("sum_key"),
+            F.sum(_floor_cents(F.col("o_totalprice"))).alias("sum_price_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_roundtrip_events_window(spark, sf_dir):
+    dec = _roundtrip(spark, sf_dir, "events", ["event_type"], ["event_id"])
+    return (
+        dec.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_floor_cents(F.col("value"))).alias("sum_value_cents"),
+        )
+        .select(F.col("w.start").alias("wstart"), "event_type", "n_events", "sum_value_cents")
+        .orderBy("wstart", "event_type")
+    )
+
+
+def q_compression_summary(spark, sf_dir):
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    root = tempfile.mkdtemp(prefix="parzig_summary_")
+    summary = encode_table(
+        src, root, group_cols=["lang", "source"], salt_cols=["doc_id"], size_col="text", resume=False
+    )
+    return (
+        summary.groupBy("column")
+        .agg(
+            F.first("codec").alias("codec_example"),
+            F.sum("n_values").alias("n_values"),
+            F.sum("raw_bytes").alias("raw_bytes"),
+            F.sum("enc_bytes").alias("enc_bytes"),
+        )
+        .orderBy("column")
+    )
+
+
+def q_tpch_q1(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_floor_cents(F.col("l_quantity"))).alias("sum_qty_cents"),
+            F.sum(_floor_cents(F.col("l_extendedprice"))).alias("sum_base_cents"),
+            F.sum(
+                _floor_cents(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+                )
+            ).alias("sum_charge_cents"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_join_segment_revenue(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                _floor_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = ded.dedup_exact(docs, "text", "doc_id")
+    return (
+        kept.groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("fp")
+    )
+
+
+def q_doc_fingerprints(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tx.fingerprint(docs, "text", ["doc_id"]).orderBy("doc_id")
+
+
+def q_text_stats(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tx.text_stats(docs, "text", ["doc_id"]).orderBy("doc_id")
+
+
+def q_quality(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tx.quality_score(docs, "text", ["doc_id"]).orderBy("doc_id")
+
+
+def q_lang_id(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tx.lang_id(docs, "text", ["doc_id"]).select("doc_id", "lang_pred")
+
+
+def q_minhash_candidates(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ded.minhash_lsh_candidates(docs, "text", "doc_id").filter(
+        F.col("n_shared_bands") >= 2
+    )
+
+
+def q_simhash(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ded.simhash(docs, "text", "doc_id")
+
+
+def q_ngram_jaccard_verified(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cands = ded.minhash_lsh_candidates(docs, "text", "doc_id")
+    return ded.ngram_jaccard(docs, cands, "text", "doc_id").filter(F.col("jaccard") >= 0.8)
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    query = emb.filter(F.col("vec_id") == 0)
+    return sim.cosine_topk(emb.filter(F.col("vec_id") != 0), query, k=20)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    indexed = sim.lsh_index(emb.filter(F.col("vec_id") != 0), n_planes=6)
+    return sim.lsh_topk(indexed, list(qrow["embedding"]), k=20, n_planes=6)
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # Embeddings are near-orthonormal random vectors (pairwise cosine p99 ~0.29);
+    # 0.3 is the meaningful "near-dup" bar for this corpus.
+    return ded.embedding_near_dups(emb, "embedding", "vec_id", threshold=0.3, n_planes=6)
+
+
+def q_multimodal_metadata(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    as_bin = docs.select("doc_id", F.encode("text", "utf-8").alias("data"))
+    return mm.media_metadata(as_bin, "data", ["doc_id"]).orderBy("doc_id")
+
+
+def q_multimodal_features(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    as_bin = docs.select("doc_id", F.encode("text", "utf-8").alias("data"))
+    return mm.extract_features(as_bin, "data", ["doc_id"], fake=True)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "roundtrip_documents": q_roundtrip_documents,
+        "roundtrip_lineitem_q1": q_roundtrip_lineitem_q1,
+        "roundtrip_orders": q_roundtrip_orders,
+        "roundtrip_events_window": q_roundtrip_events_window,
+        "compression_summary": q_compression_summary,
+        "tpch_q1": q_tpch_q1,
+        "join_segment_revenue": q_join_segment_revenue,
+        "dedup_exact": q_dedup_exact,
+        "doc_fingerprints": q_doc_fingerprints,
+        "text_stats": q_text_stats,
+        "quality_score": q_quality,
+        "lang_id": q_lang_id,
+        "minhash_candidates": q_minhash_candidates,
+        "simhash": q_simhash,
+        "ngram_jaccard_verified": q_ngram_jaccard_verified,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_near_dups": q_embedding_near_dups,
+        "multimodal_metadata": q_multimodal_metadata,
+        "multimodal_features": q_multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "roundtrip_documents": """
+            SELECT doc_id, lang, source, n_chars, sha256(text) AS text_sha
+            FROM documents
+        """,
+        "roundtrip_lineitem_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   count(*) AS count_order,
+                   CAST(sum(CAST(floor(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+                   CAST(sum(CAST(floor(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+                   CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_cents
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "roundtrip_orders": """
+            SELECT o_orderpriority, count(*) AS n_orders, CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+                   CAST(sum(CAST(floor(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "roundtrip_events_window": """
+            SELECT date_trunc('hour', ts) AS wstart, event_type,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(floor(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+                   CAST(sum(CAST(floor(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+                   CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*(1+l_tax)*100) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+        """,
+        "join_segment_revenue": """
+            SELECT c_mktsegment, count(*) AS n_items,
+                   CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "dedup_exact": r"""
+            SELECT fp, min(doc_id) AS keeper, count(*) AS n_rows
+            FROM (
+              SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+              FROM documents
+            ) GROUP BY fp ORDER BY fp
+        """,
+        "doc_fingerprints": r"""
+            SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+            FROM documents ORDER BY doc_id
+        """,
+        "text_stats": r"""
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   octet_length(encode(text)) AS n_bytes,
+                   length(text) - length(replace(text, chr(10), '')) + 1 AS n_lines,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "quality_score": rf"""
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                   length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+                   len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                   x -> x IN ({STOPWORD_SQL}))) AS n_stopwords
+            FROM documents ORDER BY doc_id
+        """,
+        "ann_cosine_topk": """
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding, q), 6) AS cosine
+            FROM embeddings, (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
+            WHERE vec_id != 0
+            ORDER BY cosine DESC, vec_id LIMIT 20
+        """,
+        "multimodal_metadata": """
+            SELECT doc_id,
+                   octet_length(encode(text)) AS n_bytes,
+                   lower(substring(hex(encode(text)), 1, 16)) AS magic_hex
+            FROM documents ORDER BY doc_id
+        """,
+    }
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: encode+decode+verify sf0.001 documents through the engine,
+    returning the per-column summary with round-trip verification bit."""
+    sf_dir = "/root/testdata/sf0.001"
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    root = tempfile.mkdtemp(prefix="parzig_entry_")
+    summary = encode_table(
+        src,
+        root,
+        group_cols=["lang", "source"],
+        salt_cols=["doc_id"],
+        size_col="text",
+        resume=False,
+    )
+    agg = (
+        summary.groupBy("column")
+        .agg(
+            F.first("codec").alias("codec"),
+            F.sum("n_values").alias("n_values"),
+            F.sum("raw_bytes").alias("raw_bytes"),
+            F.sum("enc_bytes").alias("enc_bytes"),
+        )
+    )
+    agg.count()  # run the encode
+    decoded = decode_table(spark, root)
+    report = verify_roundtrip(src, decoded, ["doc_id"], ["text", "lang", "source", "n_chars"])
+    ok = bool(report["ok"])
+    return agg.withColumn("roundtrip_sha_ok", F.lit(ok)).orderBy("column")

@@ -1,0 +1,136 @@
+"""Benchmark harness: headline queries + encode/decode throughput.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "encode_gbps": ..., "decode_gbps": ..., ...}
+
+The throughput section encodes+decodes a deterministic synthetic
+source-code corpus (the BASELINE.json input shape) sized by
+$SPARK_GRAFT_BENCH_ROWS (default 40000, ~0.5 GB of content), verifying
+sha256 round-trip. Scaling evidence (local[8] vs local[32]) is produced by
+jobs/bench_scaling.py, which shells out to this file.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    bench_rows = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "40000"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from parzig_spark.operators import decode_table, encode_table, verify_roundtrip
+    from parzig_spark.session import get_spark
+    from parzig_spark.sources import source_code_table
+
+    spark = get_spark(
+        app_name="parzig_bench", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+
+    times: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        times[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    qs = entrymod.queries()
+    for name in (
+        "tpch_q1",
+        "join_segment_revenue",
+        "text_stats",
+        "quality_score",
+        "dedup_exact",
+        "doc_fingerprints",
+        "minhash_candidates",
+        "simhash",
+        "ann_cosine_topk",
+        "ann_lsh_topk",
+        "embedding_near_dups",
+        "roundtrip_documents",
+        "roundtrip_lineitem_q1",
+    ):
+        timed(name, lambda n=name: qs[n](spark, sf_dir).count())
+
+    # ---- encode/decode throughput on the content-heavy corpus -------------
+    corpus = source_code_table(spark, n_rows=bench_rows, partitions=cpus)
+    corpus = corpus.cache()
+    raw_bytes = corpus.select(
+        (
+            F.sum(F.octet_length("content"))
+            + F.sum(F.octet_length("repo") + F.octet_length("path") + F.octet_length("commit") + F.octet_length("lang"))
+        ).alias("b")
+    ).collect()[0]["b"]
+
+    root = tempfile.mkdtemp(prefix="parzig_bench_")
+    try:
+        def run_encode():
+            encode_table(
+                corpus,
+                root,
+                group_cols=["repo", "lang"],
+                salt_cols=["path", "commit"],
+                sort_cols=["repo", "path", "commit"],
+                size_col="content",
+                target_bytes=32 << 20,
+                resume=False,
+            ).count()
+
+        timed("corpus_encode", run_encode)
+
+        def run_decode():
+            return decode_table(spark, root).count()
+
+        decoded_count = timed("corpus_decode", run_decode)
+
+        report = verify_roundtrip(
+            corpus,
+            decode_table(spark, root),
+            ["repo", "path", "commit"],
+            ["lang", "content"],
+        )
+        # encoded size on disk
+        enc_bytes = 0
+        for dirpath, _, files in os.walk(os.path.join(root, "blobs")):
+            for f in files:
+                enc_bytes += os.path.getsize(os.path.join(dirpath, f))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    total = round(sum(times.values()), 3)
+    result = {
+        "metric": "bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "cpus": cpus,
+        "corpus_rows": bench_rows,
+        "corpus_raw_bytes": int(raw_bytes),
+        "corpus_enc_bytes": int(enc_bytes),
+        "compression_ratio": round(raw_bytes / max(enc_bytes, 1), 3),
+        "encode_gbps": round(raw_bytes / times["corpus_encode"] / 1e9, 4),
+        "decode_gbps": round(raw_bytes / times["corpus_decode"] / 1e9, 4),
+        "decoded_rows": int(decoded_count),
+        "verify_ok": bool(report["ok"]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -8,12 +8,18 @@ trained in a few iterations on a bounded sample by maximizing
 apparent-gain = frequency × symbol length; code 255 escapes a literal byte.
 
 Deviations from the paper (documented — ours is a storage format, not an
-in-memory layout): escaped literal bytes go to a *separate* literal stream
-instead of being inlined after the escape code, which removes the sequential
-escape ambiguity and makes decode fully vectorizable in numpy (symbol-matrix
-gather + ragged mask, zero per-byte Python). Encode tokenizes with a
-longest-first compiled regex alternation (C-speed matching; one Python
-callback per emitted token, not per byte).
+in-memory layout):
+
+- escaped literal bytes go to a *separate* literal stream instead of being
+  inlined after the escape code, which removes the sequential escape
+  ambiguity and makes decode fully vectorizable;
+- the paper's AVX512 kernel is replaced by a *chunk-parallel numpy* encoder:
+  per-position longest-match tables are built with one vectorized
+  searchsorted pass per symbol length (u64 window keys), then the greedy
+  parse advances the cursor of every 256-byte chunk simultaneously — one
+  gather per step across all chunks, never per-token Python. Matches never
+  cross a chunk boundary (≤7 wasted bytes per 256, and it is what makes the
+  parse embarrassingly parallel).
 
 The codec compresses the column's concatenated UTF-8 buffer; original string
 lengths ride along block-FOR coded so decode re-slices exactly
@@ -22,7 +28,6 @@ lengths ride along block-FOR coded so decode re-slices exactly
 
 from __future__ import annotations
 
-import re
 from collections import Counter
 
 import numpy as np
@@ -38,41 +43,192 @@ MAX_SYMBOL_LEN = 8
 TRAIN_SAMPLE_BYTES = 1 << 16
 TRAIN_ITERATIONS = 4
 ESCAPE = 255
+CHUNK = 256  # parallel-parse chunk; token matches never cross a boundary
+_SEGMENT = 8 << 20  # match-table build segment (bounds temp memory)
 
 
-def _compile(symbols: list[bytes]) -> re.Pattern:
-    # Longest-first alternation == greedy longest match at each position;
-    # trailing (?s:.) catches any single byte as an escape literal.
-    alts = sorted(symbols, key=len, reverse=True)
-    pattern = b"|".join(re.escape(s) for s in alts) + (b"|" if alts else b"") + b"(?s:.)"
-    return re.compile(pattern)
+def _build_hash_tables(symbols: list[bytes]) -> dict[int, tuple]:
+    """Per-length collision-free hash tables: L -> (mult, slot_keys,
+    slot_codes, slot_used). Lookup is slot = (key * mult) >> 48 into 2^16
+    slots — two gathers + compare, no binary search (searchsorted is ~20x
+    slower than gathers on this platform)."""
+    tables: dict[int, tuple] = {}
+    by_len: dict[int, list[tuple[int, bytes]]] = {}
+    for code, s in enumerate(symbols):
+        by_len.setdefault(len(s), []).append((code, s))
+    rng = np.random.default_rng(0xF557)
+    for L, entries in by_len.items():
+        keys = np.array([int.from_bytes(s, "big") for _, s in entries], dtype=np.uint64)
+        codes = np.array([c for c, _ in entries], dtype=np.uint8)
+        for _ in range(64):
+            mult = np.uint64(int(rng.integers(1, 2**63)) * 2 + 1)
+            slots = (keys * mult) >> np.uint64(48)
+            if len(np.unique(slots)) == len(keys):
+                break
+        else:  # pragma: no cover - 255 keys into 65536 slots converges fast
+            raise RuntimeError("fsst: no collision-free hash found")
+        slot_keys = np.zeros(1 << 16, dtype=np.uint64)
+        slot_codes = np.zeros(1 << 16, dtype=np.uint8)
+        slot_used = np.zeros(1 << 16, dtype=bool)
+        slot_keys[slots] = keys
+        slot_codes[slots] = codes
+        slot_used[slots] = True
+        tables[L] = (mult, slot_keys, slot_codes, slot_used)
+    return tables
+
+
+def compress(data: bytes, symbols: list[bytes]) -> bytes:
+    """Chunk-parallel greedy encode → varint(n_literals) + literals + codes.
+
+    The greedy parse advances the cursor of every CHUNK-byte chunk
+    simultaneously; longest-match lookup happens lazily at cursor positions
+    only (8 byte-gathers build the 8-byte window key, then one hash probe
+    per symbol length over the not-yet-matched cursors)."""
+    n = len(data)
+    if n == 0:
+        return encode_uleb128(0)
+    arr = np.frombuffer(data, dtype=np.uint8)
+    arrp = np.zeros(n + MAX_SYMBOL_LEN, dtype=np.uint8)
+    arrp[:n] = arr
+    tables = _build_hash_tables(symbols)
+    lengths_desc = sorted(tables, reverse=True)
+    shift48 = np.uint64(48)
+    nchunks = (n + CHUNK - 1) // CHUNK
+    cursors = np.arange(nchunks, dtype=np.int64) * CHUNK
+    chunk_ends = np.minimum(cursors + CHUNK, n)
+    out_codes = np.zeros((nchunks, CHUNK), dtype=np.uint8)
+    out_lits = np.zeros((nchunks, CHUNK), dtype=np.uint8)
+    counts = np.zeros(nchunks, dtype=np.int64)
+    active_idx = np.arange(nchunks)
+    step = 0
+    while len(active_idx):
+        cur = cursors[active_idx]
+        na = len(cur)
+        key8 = arrp[cur].astype(np.uint64)
+        for j in range(1, MAX_SYMBOL_LEN):
+            key8 <<= np.uint64(8)
+            key8 |= arrp[cur + j]
+        rem = chunk_ends[active_idx] - cur
+        bl = np.zeros(na, dtype=np.int64)
+        bc = np.full(na, ESCAPE, dtype=np.uint8)
+        pending = np.arange(na)
+        for L in lengths_desc:
+            if not len(pending):
+                break
+            cand = pending[rem[pending] >= L]
+            if not len(cand):
+                continue
+            mult, slot_keys, slot_codes, slot_used = tables[L]
+            key_l = key8[cand] >> np.uint64(8 * (MAX_SYMBOL_LEN - L))
+            slot = ((key_l * mult) >> shift48).astype(np.intp)
+            hit = slot_used[slot] & (slot_keys[slot] == key_l)
+            matched = cand[hit]
+            bl[matched] = L
+            bc[matched] = slot_codes[slot[hit]]
+            miss = cand[~hit]
+            if len(cand) == len(pending):
+                pending = miss
+            else:
+                # positions too close to the chunk end for L stay pending
+                pending = np.concatenate((miss, pending[rem[pending] < L]))
+        out_codes[active_idx, step] = bc
+        out_lits[active_idx, step] = arrp[cur]
+        counts[active_idx] += 1
+        cursors[active_idx] = cur + np.maximum(bl, 1)
+        still = cursors[active_idx] < chunk_ends[active_idx]
+        active_idx = active_idx[still]
+        step += 1
+    valid = np.arange(CHUNK) < counts[:, None]
+    codes_stream = out_codes[valid]
+    lit_mask = valid & (out_codes == ESCAPE)
+    literals = out_lits[lit_mask]
+    return encode_uleb128(len(literals)) + literals.tobytes() + codes_stream.tobytes()
+
+
+def decompress(blob, symbols: list[bytes], out_size: int) -> bytes:
+    """Fully vectorized: 8 strided scatters from the symbol matrix."""
+    buf = memoryview(blob)
+    n_lit, pos = decode_uleb128(buf, 0)
+    literals = np.frombuffer(buf[pos : pos + n_lit], dtype=np.uint8)
+    codes = np.frombuffer(buf[pos + n_lit :], dtype=np.uint8).astype(np.int32)
+    matrix = np.zeros((256, MAX_SYMBOL_LEN), dtype=np.uint8)
+    lens = np.zeros(256, dtype=np.int32)
+    for i, s in enumerate(symbols):
+        matrix[i, : len(s)] = np.frombuffer(s, dtype=np.uint8)
+        lens[i] = len(s)
+    lens[ESCAPE] = 1
+    tok_lens = lens[codes]
+    starts = np.empty(len(codes) + 1, dtype=np.int64)
+    starts[0] = 0
+    np.cumsum(tok_lens, out=starts[1:])
+    total = int(starts[-1])
+    if total != out_size:
+        raise ValueError(f"fsst decode size mismatch: {total} != {out_size}")
+    out = np.empty(total, dtype=np.uint8)
+    # column-wise scatter: byte j of every token with len > j
+    for j in range(MAX_SYMBOL_LEN):
+        sel = tok_lens > j
+        if not sel.any():
+            break
+        out[starts[:-1][sel] + j] = matrix[codes[sel], j]
+    if n_lit:
+        esc = codes == ESCAPE
+        out[starts[:-1][esc]] = literals
+    return out.tobytes()
+
+
+def _tokenize(sample: np.ndarray, symbols: list[bytes]) -> list[bytes]:
+    """Token sequence of a (small) sample under the current table — derived
+    from the real encoder's output, so training sees exactly the parse the
+    encoder will produce. Per-token Python only on the bounded sample."""
+    body = compress(sample.tobytes(), symbols)
+    buf = memoryview(body)
+    n_lit, pos = decode_uleb128(buf, 0)
+    literals = bytes(buf[pos : pos + n_lit])
+    codes = bytes(buf[pos + n_lit :])
+    toks = []
+    li = 0
+    for c in codes:
+        if c == ESCAPE:
+            toks.append(literals[li : li + 1])
+            li += 1
+        else:
+            toks.append(symbols[c])
+    return toks
 
 
 def train(data: bytes, sample_bytes: int = TRAIN_SAMPLE_BYTES) -> list[bytes]:
-    """Iterative apparent-gain symbol selection (paper §4.4, simplified)."""
-    sample = data[:sample_bytes]
-    if not sample:
+    """Iterative apparent-gain symbol selection (paper §4.4, simplified).
+
+    The sample is *stratified*: evenly-spaced 512-byte slices across the
+    whole buffer, so a multi-language corpus contributes symbols from every
+    region rather than just the head.
+    """
+    if not data:
         return []
+    if len(data) <= sample_bytes:
+        sample = np.frombuffer(data, dtype=np.uint8)
+    else:
+        n_slices = max(1, sample_bytes // 512)
+        starts = np.linspace(0, len(data) - 512, n_slices).astype(np.int64)
+        whole = np.frombuffer(data, dtype=np.uint8)
+        sample = np.concatenate([whole[s : s + 512] for s in starts])
     symbols: list[bytes] = []
     for _ in range(TRAIN_ITERATIONS):
         if not symbols:
-            # Bootstrap round: tokens are single bytes — count bytes and
-            # 2-grams vectorized.
-            arr = np.frombuffer(sample, dtype=np.uint8)
-            byte_freq = np.bincount(arr, minlength=256)
+            byte_freq = np.bincount(sample, minlength=256)
             cand: Counter = Counter()
             for b in np.flatnonzero(byte_freq):
-                cand[bytes([b])] = int(byte_freq[b])
-            if len(arr) > 1:
-                pairs = arr[:-1].astype(np.uint16) * 256 + arr[1:]
+                cand[bytes([int(b)])] = int(byte_freq[b])
+            if len(sample) > 1:
+                pairs = sample[:-1].astype(np.uint16) * 256 + sample[1:]
                 pair_freq = np.bincount(pairs, minlength=65536)
                 top = np.argsort(pair_freq)[-512:]
                 for p in top:
                     if pair_freq[p]:
-                        cand[bytes([p >> 8, p & 0xFF])] = int(pair_freq[p]) * 2
+                        cand[bytes([int(p) >> 8, int(p) & 0xFF])] = int(pair_freq[p]) * 2
         else:
-            patt = _compile(symbols)
-            tokens = patt.findall(sample)
+            tokens = _tokenize(sample, symbols)
             freq = Counter(tokens)
             cand = Counter()
             for tok, f in freq.items():
@@ -80,55 +236,10 @@ def train(data: bytes, sample_bytes: int = TRAIN_SAMPLE_BYTES) -> list[bytes]:
             prev = None
             for tok in tokens:
                 if prev is not None and len(prev) + len(tok) <= MAX_SYMBOL_LEN:
-                    cand[prev + tok] += (len(prev) + len(tok))
+                    cand[prev + tok] += len(prev) + len(tok)
                 prev = tok
         symbols = [s for s, _ in cand.most_common(MAX_SYMBOLS)]
     return symbols
-
-
-def compress(data: bytes, symbols: list[bytes]) -> bytes:
-    """Greedy longest-match encode → varint(n_literals) + literals + codes."""
-    code_of = {s: bytes([i]) for i, s in enumerate(symbols)}
-    literals = bytearray()
-    esc = bytes([ESCAPE])
-
-    def repl(m: re.Match) -> bytes:
-        s = m.group(0)
-        c = code_of.get(s)
-        if c is not None:
-            return c
-        literals.extend(s)  # catch-all matched a single unknown byte
-        return esc
-
-    codes = _compile(symbols).sub(repl, data) if symbols else None
-    if codes is None:
-        literals.extend(data)
-        codes = esc * len(data)
-    return encode_uleb128(len(literals)) + bytes(literals) + codes
-
-
-def decompress(blob, symbols: list[bytes], out_size: int) -> bytes:
-    """Fully vectorized: gather (256,8) symbol matrix rows, ragged-mask out."""
-    buf = memoryview(blob)
-    n_lit, pos = decode_uleb128(buf, 0)
-    literals = np.frombuffer(buf[pos : pos + n_lit], dtype=np.uint8)
-    codes = np.frombuffer(buf[pos + n_lit :], dtype=np.uint8)
-    matrix = np.zeros((256, MAX_SYMBOL_LEN), dtype=np.uint8)
-    lens = np.zeros(256, dtype=np.int64)
-    for i, s in enumerate(symbols):
-        matrix[i, : len(s)] = np.frombuffer(s, dtype=np.uint8)
-        lens[i] = len(s)
-    lens[ESCAPE] = 1
-    rows = matrix[codes]  # (n_codes, 8)
-    if n_lit:
-        esc_rows = codes == ESCAPE
-        rows[esc_rows, 0] = literals
-    tok_lens = lens[codes]
-    mask = np.arange(MAX_SYMBOL_LEN) < tok_lens[:, None]
-    out = rows[mask]
-    if len(out) != out_size:
-        raise ValueError(f"fsst decode size mismatch: {len(out)} != {out_size}")
-    return out.tobytes()
 
 
 def encode(arr: pa.Array, symbols: list[bytes] | None = None) -> tuple[bytes, dict]:

@@ -1,0 +1,111 @@
+"""Distributed decode: manifests + blobs → DataFrame, bit-identical.
+
+Mirror of the reference's read path at Spark granularity: the manifest table
+is the footer (/root/reference/src/parquet/File.zig:58-91), one Spark task
+decodes one committed partition's column chunks
+(/root/reference/src/parquet/rowGroupReader.zig:72-290), and the numpy
+kernels replace the per-page decode loop. Column pruning works exactly like
+the reference's readColumn(index): ask for fewer columns and only those
+blobs are opened.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+import pandas as pd
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..codecs import decode_column
+from ..plans.manifest import ManifestStore
+
+_TOKEN_TO_SPARK = {
+    "bool": "boolean",
+    "int8": "tinyint",
+    "int16": "smallint",
+    "int32": "int",
+    "int64": "long",
+    "float32": "float",
+    "float64": "double",
+    "date32": "date",
+    "timestamp[us]": "timestamp",
+    "timestamp[ns]": "timestamp",
+    "timestamp[ms]": "timestamp",
+    "timestamp[s]": "timestamp",
+    "string": "string",
+    "large_string": "string",
+    "binary": "binary",
+    "large_binary": "binary",
+}
+
+
+def _spark_type(meta: dict) -> str:
+    codec_meta = meta.get("codec_meta", meta)
+    if meta.get("codec") == "list":
+        child = _spark_type(meta["child_meta"])
+        return f"array<{child}>"
+    return _TOKEN_TO_SPARK[codec_meta["dtype"]]
+
+
+def decoded_schema(store: ManifestStore, columns: list[str] | None = None) -> tuple[list[str], str]:
+    """(column order, Spark DDL schema) from any committed manifest."""
+    table = store.read_manifests()
+    if table.num_rows == 0:
+        raise ValueError(f"no committed partitions in {store.root}")
+    first_pid = table.column("pid")[0].as_py()
+    cols, ddl = [], []
+    for row in table.filter(pa.compute.equal(table.column("pid"), first_pid)).to_pylist():
+        name = row["column"]
+        if columns is not None and name not in columns:
+            continue
+        meta = json.loads(row["meta_json"])
+        cols.append(name)
+        ddl.append(f"{name} {_spark_type(meta)}")
+    if columns is not None:
+        order = {c: i for i, c in enumerate(columns)}
+        pairs = sorted(zip(cols, ddl), key=lambda p: order[p[0]])
+        cols = [p[0] for p in pairs]
+        ddl = [p[1] for p in pairs]
+    return cols, ", ".join(ddl)
+
+
+def decode_table(
+    spark: SparkSession,
+    store_root: str,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Decode all committed partitions; returns the reconstructed DataFrame."""
+    store = ManifestStore(store_root)
+    cols, ddl = decoded_schema(store, columns)
+    # Manifest rows are tiny (the blobs live in separate files); read them
+    # driver-side with pyarrow and parallelize — spark.read over thousands
+    # of KB-sized parquet files pays per-file scan setup that dwarfs the
+    # actual decode (observed 100s+ at 700 files).
+    mtable = store.read_manifests()
+    if mtable.num_rows == 0:
+        raise ValueError(f"no committed partitions in {store_root}")
+    manifests = spark.createDataFrame(mtable.to_pandas())
+    if columns is not None:
+        manifests = manifests.filter(F.col("column").isin(columns))
+    n_pids = mtable.column("pid").to_pandas().nunique()
+    manifests = manifests.repartition(
+        max(1, min(n_pids, spark.sparkContext.defaultParallelism * 2)), "pid"
+    )
+
+    def decode_partition(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        local = ManifestStore(store_root)
+        pid = int(key[0])
+        arrays, names = [], []
+        by_col = {r["column"]: r for _, r in pdf.iterrows()}
+        for name in cols:
+            row = by_col[name]
+            meta = json.loads(row["meta_json"])
+            blob = local.read_blob(pid, name)
+            arrays.append(decode_column(blob, meta))
+            names.append(name)
+        return pa.table(dict(zip(names, arrays))).to_pandas()
+
+    return manifests.groupBy("pid").applyInPandas(decode_partition, schema=ddl)

@@ -1,0 +1,199 @@
+"""Distributed encode: DataFrame → per-partition column blobs + manifests.
+
+The Spark translation of the reference's (single-threaded) column-chunk
+write path it never had: partitions play row groups
+(/root/reference/src/parquet/File.zig:93-95), one encoded blob per
+(partition, column) plays the column chunk, and the manifest row plays
+ColumnMetaData. Everything heavy runs inside one vectorized Arrow
+``mapInPandas`` pass — no per-row Python, no driver collect of data.
+
+Skew handling (north rule): partition ids are salted content-derived
+hashes. A first lightweight aggregation measures bytes per (repo, lang)
+group; groups bigger than the target partition size get a per-row salt
+``pmod(xxhash64(salt_cols), nsalt)`` so one giant repo fans out over many
+partitions, while small groups stay whole for dictionary/FSST locality. The
+physical shuffle is ``repartition(NP, pid)`` — hash, not range, because a
+partition id must never straddle two tasks (range boundaries can split only
+between distinct sort keys, but the atomic manifest commit needs the
+guarantee per bucket, and hash-on-pid gives it exactly).
+
+Idempotence under retries (SURVEY.md §7 hard-part (d)): pid is derived from
+data, rows are canonically sorted before encoding, and the manifest commit
+is first-marker-wins — a speculative duplicate task rewrites byte-identical
+blobs and then no-ops.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import time
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..codecs import dtypes, encode_column
+from ..plans.manifest import ManifestStore
+from ..selector import choose_codec
+
+SUMMARY_SCHEMA = (
+    "pid long, column string, codec string, n_values long, raw_bytes long, "
+    "enc_bytes long, encode_s double, committed boolean"
+)
+
+
+def column_digest(arr: pa.Array) -> str:
+    """Canonical sha256 of a column's logical content (order-sensitive)."""
+    h = hashlib.sha256()
+    if arr.null_count:
+        h.update(np.asarray(arr.is_null()).tobytes())
+        arr = arr.drop_null()
+    t = arr.type
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        h.update(arr.value_lengths().to_numpy(zero_copy_only=False).astype("<i8").tobytes())
+        h.update(column_digest(arr.flatten()).encode())
+    else:
+        token = dtypes.dtype_token(t)
+        if dtypes.is_string_like(token):
+            lengths, data = dtypes.string_buffers(arr)
+            h.update(lengths.astype("<i8").tobytes())
+            h.update(data.tobytes())
+        else:
+            h.update(np.ascontiguousarray(dtypes.to_physical(arr)).tobytes())
+    return h.hexdigest()
+
+
+def plan_partitions(
+    df: DataFrame,
+    group_cols: list[str],
+    salt_cols: list[str],
+    target_bytes: int = 64 << 20,
+    size_col: str | None = None,
+    min_buckets: int | None = None,
+) -> DataFrame:
+    """Attach a deterministic, skew-defused partition id column ``pid``.
+
+    Two-sided balancing in one sizing pass (column-pruned aggregation, all
+    remaining arithmetic Catalyst expressions):
+
+    - **skew (giant groups)**: any (group_cols) group larger than
+      ``target_bytes`` gets a per-row salt ``pmod(xxhash64(salt_cols),
+      nsalt)`` so one giant repo fans out over ~nsalt partitions;
+    - **fragmentation (tiny groups)**: pid = xxhash64(group, salt) is then
+      bucketed modulo ``n_buckets = max(min_buckets, total/target)``, so
+      thousands of small groups pack into byte-bounded partitions instead of
+      paying per-partition encode/manifest overhead each (at 10^12 files the
+      group count is ~repos×langs — far above any sane partition count).
+    """
+    spark = df.sparkSession
+    size_expr = F.octet_length(F.col(size_col)) if size_col else F.lit(256)
+    sizes = (
+        df.groupBy(*group_cols)
+        .agg(F.sum(size_expr).alias("_grp_bytes"))
+        .withColumn(
+            "_nsalt",
+            F.greatest(F.lit(1), F.ceil(F.col("_grp_bytes") / F.lit(target_bytes))).cast("int"),
+        )
+    )
+    total_bytes = sizes.agg(F.sum("_grp_bytes")).collect()[0][0] or 0
+    if min_buckets is None:
+        min_buckets = spark.sparkContext.defaultParallelism * 2
+    n_buckets = max(min_buckets, -(-int(total_bytes) // target_bytes))
+    out = df.join(F.broadcast(sizes.drop("_grp_bytes")), on=group_cols, how="left")
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.coalesce(F.col("_nsalt"), F.lit(1)))
+    pid = F.pmod(
+        F.xxhash64(*[F.col(c) for c in group_cols], salt.cast("long")), F.lit(n_buckets)
+    )
+    return out.withColumn("pid", pid).drop("_nsalt")
+
+
+def encode_table(
+    df: DataFrame,
+    store_root: str,
+    group_cols: list[str],
+    salt_cols: list[str] | None = None,
+    sort_cols: list[str] | None = None,
+    size_col: str | None = None,
+    target_bytes: int = 64 << 20,
+    num_partitions: int | None = None,
+    resume: bool = True,
+    outer: str | None = "auto",
+) -> DataFrame:
+    """Encode ``df`` into ``store_root``; returns the per-column summary.
+
+    The returned DataFrame is the job's action — materializing it runs the
+    encode. With ``resume=True``, partitions whose commit marker already
+    exists are anti-joined away before any data is read (checkpoint/resume
+    per the north rule).
+    """
+    spark = df.sparkSession
+    salt_cols = salt_cols or [c for c in df.columns if c not in group_cols][:1]
+    sort_cols = sort_cols or list(df.columns)
+    store = ManifestStore(store_root)
+    with_pid = plan_partitions(df, group_cols, salt_cols, target_bytes, size_col)
+
+    if resume:
+        committed = store.committed_pids()
+        if committed:
+            committed_df = spark.createDataFrame(
+                [(int(p),) for p in committed], "pid long"
+            )
+            with_pid = with_pid.join(F.broadcast(committed_df), on="pid", how="left_anti")
+
+    np_part = num_partitions or spark.sparkContext.defaultParallelism * 2
+    data_cols = [c for c in df.columns]
+    shuffled = with_pid.repartition(np_part, "pid")
+
+    def encode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        buckets: dict[int, list[pa.Table]] = {}
+        for pdf in batches:
+            for pid, grp in pdf.groupby("pid", sort=False):
+                buckets.setdefault(int(pid), []).append(
+                    pa.Table.from_pandas(grp[data_cols], preserve_index=False)
+                )
+        out_rows = []
+        local_store = ManifestStore(store_root)
+        for pid, tables in buckets.items():
+            table = pa.concat_tables(tables)
+            table = table.sort_by([(c, "ascending") for c in sort_cols])
+            rows, blobs = [], {}
+            for column in data_cols:
+                arr = table.column(column).combine_chunks()
+                t0 = time.perf_counter()
+                codec, lineage = choose_codec(arr, outer=outer)
+                blob, meta = encode_column(arr, codec, outer=outer)
+                dt = time.perf_counter() - t0
+                digest = column_digest(arr)
+                blobs[column] = blob
+                rows.append(
+                    {
+                        "pid": pid,
+                        "column": column,
+                        "codec": codec,
+                        "n_values": len(arr),
+                        "raw_bytes": arr.nbytes,
+                        "enc_bytes": len(blob),
+                        "meta_json": json.dumps(meta, separators=(",", ":")),
+                        "lineage_json": json.dumps(lineage, separators=(",", ":")),
+                        "sha256": digest,
+                        "encode_s": dt,
+                        "blob_file": local_store.blob_path(pid, column),
+                    }
+                )
+            already = local_store.is_committed(pid)
+            if not already:
+                local_store.write_partition(pid, rows, blobs)
+            for r in rows:
+                out_rows.append(
+                    (pid, r["column"], r["codec"], r["n_values"], r["raw_bytes"], r["enc_bytes"], r["encode_s"], not already)
+                )
+        yield pd.DataFrame(
+            out_rows,
+            columns=["pid", "column", "codec", "n_values", "raw_bytes", "enc_bytes", "encode_s", "committed"],
+        )
+
+    return shuffled.mapInPandas(encode_partition, schema=SUMMARY_SCHEMA)

@@ -1,0 +1,128 @@
+"""Manifest checkpoint store — the engine's FileMetaData/ColumnMetaData.
+
+A manifest row plays the role of the reference's ColumnMetaData
+(/root/reference/src/generated/parquet.zig:382-419): codec choice, symbol
+tables (inside meta_json), value counts, compressed/uncompressed sizes,
+sha256 digest, plus per-partition throughput metrics and selector lineage —
+everything BASELINE.json's north_rule requires for resumable runs.
+
+Backend: an Iceberg-shaped append-only layout on a filesystem the executors
+share — one parquet manifest file + one blob directory per partition, made
+visible by an atomically-created ``_committed_{pid}`` marker (write-ahead
+blobs, rename, then marker: a partition is committed iff its marker exists,
+so a killed run leaves only invisible garbage, never a halfapplied commit;
+the same role Iceberg snapshot manifests play). The driver docstring notes
+the production swap: with an Iceberg runtime jar on the classpath this
+interface maps 1:1 onto an Iceberg metadata table (no jar in this sandbox —
+SURVEY.md §7).
+
+Resume = anti-join the input's partition ids against committed markers.
+Idempotence: partition ids are content-derived hashes, not task ids, and
+rows are canonically sorted before encoding, so Spark retries rewrite
+byte-identical blobs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+MANIFEST_SCHEMA = pa.schema(
+    [
+        ("pid", pa.int64()),
+        ("column", pa.string()),
+        ("codec", pa.string()),
+        ("n_values", pa.int64()),
+        ("raw_bytes", pa.int64()),
+        ("enc_bytes", pa.int64()),
+        ("meta_json", pa.string()),  # codec meta incl. dict/FSST symbol table
+        ("lineage_json", pa.string()),  # selector stats + trial sizes
+        ("sha256", pa.string()),  # digest of the decoded column's canonical bytes
+        ("encode_s", pa.float64()),
+        ("blob_file", pa.string()),
+    ]
+)
+
+
+class ManifestStore:
+    def __init__(self, root: str):
+        self.root = root
+        self.manifest_dir = os.path.join(root, "manifests")
+        self.blob_dir = os.path.join(root, "blobs")
+        self.marker_dir = os.path.join(root, "markers")
+        for d in (self.manifest_dir, self.blob_dir, self.marker_dir):
+            os.makedirs(d, exist_ok=True)
+
+    # -- commit protocol ----------------------------------------------------
+    def _marker_path(self, pid: int) -> str:
+        return os.path.join(self.marker_dir, f"_committed_{pid}")
+
+    def is_committed(self, pid: int) -> bool:
+        return os.path.exists(self._marker_path(pid))
+
+    def committed_pids(self) -> set[int]:
+        return {
+            int(f.rsplit("_", 1)[1])
+            for f in os.listdir(self.marker_dir)
+            if f.startswith("_committed_")
+        }
+
+    def write_partition(self, pid: int, rows: list[dict], blobs: dict[str, bytes]) -> None:
+        """Atomic per-partition commit: blobs → manifest → marker."""
+        if self.is_committed(pid):
+            return  # retry of an already-committed partition: no-op
+        tmp_tag = uuid.uuid4().hex[:8]
+        part_blob_dir = os.path.join(self.blob_dir, str(pid))
+        os.makedirs(part_blob_dir, exist_ok=True)
+        for column, blob in blobs.items():
+            final = os.path.join(part_blob_dir, f"{column}.bin")
+            tmp = final + f".tmp-{tmp_tag}"
+            with open(tmp, "wb") as f:
+                f.write(blob)
+            os.replace(tmp, final)
+        table = pa.Table.from_pylist(rows, schema=MANIFEST_SCHEMA)
+        final = os.path.join(self.manifest_dir, f"part-{pid}.parquet")
+        tmp = final + f".tmp-{tmp_tag}"
+        pq.write_table(table, tmp)
+        os.replace(tmp, final)
+        # O_CREAT|O_EXCL marker: creation is the commit point.
+        try:
+            fd = os.open(self._marker_path(pid), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+        except FileExistsError:
+            pass
+
+    # -- readers ------------------------------------------------------------
+    def blob_path(self, pid: int, column: str) -> str:
+        return os.path.join(self.blob_dir, str(pid), f"{column}.bin")
+
+    def read_blob(self, pid: int, column: str) -> bytes:
+        with open(self.blob_path(pid, column), "rb") as f:
+            return f.read()
+
+    def read_manifests(self) -> pa.Table:
+        """All committed manifest rows (uncommitted partitions invisible)."""
+        tables = []
+        for pid in sorted(self.committed_pids()):
+            path = os.path.join(self.manifest_dir, f"part-{pid}.parquet")
+            tables.append(pq.read_table(path))
+        if not tables:
+            return MANIFEST_SCHEMA.empty_table()
+        return pa.concat_tables(tables)
+
+    def manifest_glob(self) -> list[str]:
+        return [
+            os.path.join(self.manifest_dir, f"part-{pid}.parquet")
+            for pid in sorted(self.committed_pids())
+        ]
+
+    def column_meta(self, pid: int, column: str) -> dict:
+        t = pq.read_table(
+            os.path.join(self.manifest_dir, f"part-{pid}.parquet"),
+            filters=[("column", "=", column)],
+        )
+        return json.loads(t.column("meta_json")[0].as_py())

@@ -138,7 +138,11 @@ def choose_codec(
     # are not mistaken for per-value-cost ones (bit-pack/FOR) at sample size.
     nn = len(arr)
     values = arr.drop_null() if arr.null_count else arr
-    m1, m2 = min(512, nn), min(2048, nn)
+    # Bound trial payload: wide string columns would otherwise push MBs
+    # through every candidate codec just to pick one.
+    avg_len = max(stats.get("avg_len", 8.0), 1.0)
+    budget_vals = max(64, int((256 << 10) / avg_len))
+    m1, m2 = min(512, nn, max(64, budget_vals // 4)), min(2048, nn, budget_vals)
     s_small = _sample(values, m1)
     s_big = _sample(values, m2)
     trials: dict[str, int] = {}

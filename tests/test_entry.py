@@ -1,0 +1,28 @@
+"""Driver-contract smoke tests (the real gate is the driver's oracle run)."""
+
+import __spark_entry__ as entrymod
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) == 5  # documents has 5 columns
+    assert all(r["roundtrip_sha_ok"] for r in rows)
+    assert all(r["enc_bytes"] < r["raw_bytes"] for r in rows)
+
+
+def test_queries_have_oracles_or_are_marked():
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    # the core engine round-trips must all be oracle-gated
+    for name in ("roundtrip_documents", "roundtrip_lineitem_q1", "roundtrip_orders",
+                 "tpch_q1", "dedup_exact", "text_stats", "ann_cosine_topk"):
+        assert name in oracles, name
+
+
+def test_fast_queries_run(spark):
+    sf = "/root/testdata/sf0.001"
+    for name in ("tpch_q1", "doc_fingerprints", "simhash", "ann_cosine_topk"):
+        df = entrymod.queries()[name](spark, sf)
+        assert df.count() > 0, name

@@ -49,8 +49,9 @@ def main() -> None:
         times[name] = round(time.perf_counter() - t0, 3)
         return out
 
+    query_mode = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "all")
     qs = entrymod.queries()
-    for name in (
+    query_list = () if query_mode == "corpus_only" else (
         "tpch_q1",
         "join_segment_revenue",
         "text_stats",
@@ -64,7 +65,8 @@ def main() -> None:
         "embedding_near_dups",
         "roundtrip_documents",
         "roundtrip_lineitem_q1",
-    ):
+    )
+    for name in query_list:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 
     # ---- encode/decode throughput on the content-heavy corpus -------------
@@ -87,7 +89,7 @@ def main() -> None:
                 salt_cols=["path", "commit"],
                 sort_cols=["repo", "path", "commit"],
                 size_col="content",
-                target_bytes=32 << 20,
+                target_bytes=16 << 20,
                 resume=False,
             ).count()
 

@@ -1,0 +1,81 @@
+"""Dump physical plans for the engine's key dataflows → EXPLAIN.md.
+
+Evidence that the declarative parts stay in Catalyst's fast path:
+- parquet scans show PushedFilters / narrow ReadSchema (column pruning);
+- the small dimension join goes BroadcastHashJoin;
+- aggregations are hash-based with partial (map-side) aggregation;
+- WholeStageCodegen spans cover the JVM-side expressions.
+
+Usage: python jobs/explain_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    import __spark_entry__ as entrymod
+    from parzig_spark.operators.encode import plan_partitions
+    from parzig_spark.session import get_spark
+    from pyspark.sql import functions as F
+
+    spark = get_spark(app_name="explain", master="local[4]", shuffle_partitions=4)
+    sections = []
+
+    def grab(title: str, df, note: str) -> None:
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        sections.append(f"## {title}\n\n{note}\n\n```\n{buf.getvalue().strip()}\n```\n")
+
+    qs = entrymod.queries()
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pruned = li.filter(F.col("l_shipdate") <= "1995-01-01").select("l_orderkey", "l_quantity")
+    grab(
+        "Filter + projection pushdown (lineitem scan)",
+        pruned,
+        "The parquet scan must show `PushedFilters: [LessThanOrEqual(l_shipdate,...)]` "
+        "and a two-column `ReadSchema` — predicate and projection reach the reader.",
+    )
+
+    grab(
+        "TPC-H Q1 aggregation",
+        qs["tpch_q1"](spark, sf_dir),
+        "HashAggregate appears twice (partial map-side combine before the exchange, "
+        "final after) inside WholeStageCodegen spans.",
+    )
+
+    grab(
+        "Broadcast join (customer dimension)",
+        qs["join_segment_revenue"](spark, sf_dir),
+        "The customer side must be `BroadcastHashJoin` (explicit F.broadcast); the "
+        "orders/lineitem join is size-driven (AQE may also pick broadcast at sf0.01).",
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with_pid, _ = plan_partitions(docs, ["lang", "source"], ["doc_id"], 16 << 20, "text")
+    grab(
+        "Encode partition planning (sizing pass + salted pid)",
+        with_pid,
+        "One column-pruned aggregation for group sizes, broadcast back, then pure "
+        "Catalyst expressions (xxhash64/pmod) — a single shuffle total for the encode.",
+    )
+
+    out = "# EXPLAIN — physical plans of the key dataflows\n\n" + "\n".join(sections)
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "EXPLAIN.md")
+    with open(path, "w") as f:
+        f.write(out)
+    print(f"wrote {path} ({len(out)} bytes)")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

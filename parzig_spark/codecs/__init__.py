@@ -25,10 +25,23 @@ import functools
 import numpy as np
 import pyarrow as pa
 
-from . import bitpack, delta_for, delta_length, dictionary, dtypes, fsst, plain, rle_bitpack
+from . import (
+    bitpack,
+    byte_stream_split,
+    delta_for,
+    delta_length,
+    dictionary,
+    dtypes,
+    fsst,
+    plain,
+    rle_bitpack,
+)
 from .rle_bitpack import decode_u64, encode_u64
 
-CODEC_NAMES = ("plain", "rle", "bitpack", "dict", "delta", "for", "delta_length", "fsst")
+CODEC_NAMES = (
+    "plain", "rle", "bitpack", "dict", "delta", "for",
+    "delta_length", "fsst", "byte_stream_split",
+)
 
 _ENCODERS = {
     "plain": plain.encode,
@@ -39,6 +52,7 @@ _ENCODERS = {
     "for": functools.partial(delta_for.encode, mode="for"),
     "delta_length": delta_length.encode,
     "fsst": fsst.encode,
+    "byte_stream_split": byte_stream_split.encode,
 }
 
 _DECODERS = {
@@ -50,6 +64,7 @@ _DECODERS = {
     "for": delta_for.decode,
     "delta_length": delta_length.decode,
     "fsst": fsst.decode,
+    "byte_stream_split": byte_stream_split.decode,
 }
 
 OUTER_KEEP_RATIO = 0.95  # keep outer compression only if ≥5% savings

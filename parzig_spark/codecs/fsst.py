@@ -40,7 +40,7 @@ NAME = "fsst"
 
 MAX_SYMBOLS = 255  # code 255 reserved for escape
 MAX_SYMBOL_LEN = 8
-TRAIN_SAMPLE_BYTES = 1 << 16
+TRAIN_SAMPLE_BYTES = 1 << 15  # paper trains on ≤16 KiB; 32 KiB stratified
 TRAIN_ITERATIONS = 4
 ESCAPE = 255
 CHUNK = 256  # parallel-parse chunk; token matches never cross a boundary

@@ -174,7 +174,7 @@ def simhash(
             for s in shingles:
                 h = (s * np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
                 bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
-                votes = bits.sum(axis=0) * 2 - len(s)  # (64,)
+                votes = bits.sum(axis=0, dtype=np.int64) * 2 - len(s)  # (64,)
                 word = np.packbits((votes > 0).astype(np.uint8), bitorder="little")
                 out_hash.append(int(word.view("<u8")[0].astype(np.int64)))
             yield pd.DataFrame({key_col: pdf[key_col], "simhash": out_hash})

@@ -12,9 +12,6 @@ blobs are opened.
 from __future__ import annotations
 
 import json
-from collections.abc import Iterator
-
-import pandas as pd
 import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -95,17 +92,24 @@ def decode_table(
         max(1, min(n_pids, spark.sparkContext.defaultParallelism * 2)), "pid"
     )
 
-    def decode_partition(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        local = ManifestStore(store_root)
-        pid = int(key[0])
-        arrays, names = [], []
-        by_col = {r["column"]: r for _, r in pdf.iterrows()}
-        for name in cols:
-            row = by_col[name]
-            meta = json.loads(row["meta_json"])
-            blob = local.read_blob(pid, name)
-            arrays.append(decode_column(blob, meta))
-            names.append(name)
-        return pa.table(dict(zip(names, arrays))).to_pandas()
+    def decode_partition(batches):
+        """Iterator[pa.RecordBatch] of manifest rows -> decoded row batches.
 
-    return manifests.groupBy("pid").applyInPandas(decode_partition, schema=ddl)
+        Pure-Arrow (mapInArrow): decoded columns go straight from the numpy
+        kernels into Arrow batches, never through pandas objects.
+        """
+        local = ManifestStore(store_root)
+        rows: dict[int, dict[str, dict]] = {}
+        for batch in batches:
+            for row in batch.to_pylist():
+                rows.setdefault(int(row["pid"]), {})[row["column"]] = row
+        for pid, by_col in rows.items():
+            arrays = []
+            for name in cols:
+                meta = json.loads(by_col[name]["meta_json"])
+                blob = local.read_blob(pid, name)
+                arrays.append(decode_column(blob, meta))
+            table = pa.table(dict(zip(cols, arrays)))
+            yield from table.to_batches(max_chunksize=8192)
+
+    return manifests.mapInArrow(decode_partition, schema=ddl)

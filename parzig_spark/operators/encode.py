@@ -4,8 +4,8 @@ The Spark translation of the reference's (single-threaded) column-chunk
 write path it never had: partitions play row groups
 (/root/reference/src/parquet/File.zig:93-95), one encoded blob per
 (partition, column) plays the column chunk, and the manifest row plays
-ColumnMetaData. Everything heavy runs inside one vectorized Arrow
-``mapInPandas`` pass — no per-row Python, no driver collect of data.
+ColumnMetaData. Everything heavy runs inside one vectorized ``mapInArrow`` pass — no
+per-row Python, no pandas object churn, no driver collect of data.
 
 Skew handling (north rule): partition ids are salted content-derived
 hashes. A first lightweight aggregation measures bytes per (repo, lang)
@@ -28,10 +28,7 @@ from __future__ import annotations
 import hashlib
 import json
 import time
-from collections.abc import Iterator
-
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -100,15 +97,18 @@ def plan_partitions(
         )
     )
     total_bytes = sizes.agg(F.sum("_grp_bytes")).collect()[0][0] or 0
+    # n_buckets is a *data* property (bytes/target), never a cluster
+    # property: partition ids must be identical across cluster sizes or a
+    # resume on a different cluster re-encodes everything.
     if min_buckets is None:
-        min_buckets = spark.sparkContext.defaultParallelism * 2
+        min_buckets = 1
     n_buckets = max(min_buckets, -(-int(total_bytes) // target_bytes))
     out = df.join(F.broadcast(sizes.drop("_grp_bytes")), on=group_cols, how="left")
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.coalesce(F.col("_nsalt"), F.lit(1)))
     pid = F.pmod(
         F.xxhash64(*[F.col(c) for c in group_cols], salt.cast("long")), F.lit(n_buckets)
     )
-    return out.withColumn("pid", pid).drop("_nsalt")
+    return out.withColumn("pid", pid).drop("_nsalt"), n_buckets
 
 
 def encode_table(
@@ -134,7 +134,7 @@ def encode_table(
     salt_cols = salt_cols or [c for c in df.columns if c not in group_cols][:1]
     sort_cols = sort_cols or list(df.columns)
     store = ManifestStore(store_root)
-    with_pid = plan_partitions(df, group_cols, salt_cols, target_bytes, size_col)
+    with_pid, n_buckets = plan_partitions(df, group_cols, salt_cols, target_bytes, size_col)
 
     if resume:
         committed = store.committed_pids()
@@ -144,17 +144,39 @@ def encode_table(
             )
             with_pid = with_pid.join(F.broadcast(committed_df), on="pid", how="left_anti")
 
-    np_part = num_partitions or spark.sparkContext.defaultParallelism * 2
+    # One task per bucket: per-task cost is then a data property, identical
+    # at every cluster size (scheduler balances tasks over whatever slots
+    # exist) — required for honest N→4N scaling comparisons.
+    np_part = num_partitions or n_buckets
     data_cols = [c for c in df.columns]
     shuffled = with_pid.repartition(np_part, "pid")
 
-    def encode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def encode_partition(batches):
+        """Iterator[pa.RecordBatch] -> Iterator[pa.RecordBatch] (mapInArrow).
+
+        Pure-Arrow: no pandas round-trip — string columns never become
+        Python objects, which halves memory traffic per byte (the scaling
+        bottleneck on bandwidth-limited hosts).
+        """
         buckets: dict[int, list[pa.Table]] = {}
-        for pdf in batches:
-            for pid, grp in pdf.groupby("pid", sort=False):
-                buckets.setdefault(int(pid), []).append(
-                    pa.Table.from_pandas(grp[data_cols], preserve_index=False)
-                )
+        for batch in batches:
+            t = pa.Table.from_batches([batch])
+            pids_np = t.column("pid").to_numpy(zero_copy_only=False)
+            uniq = np.unique(pids_np)
+            if len(uniq) == 1:
+                buckets.setdefault(int(uniq[0]), []).append(t.select(data_cols))
+                continue
+            # One argsort + zero-copy slices instead of one filter pass per
+            # pid (a task can host many buckets; per-pid filtering re-scans
+            # the batch npids times).
+            order = np.argsort(pids_np, kind="stable")
+            sorted_t = t.take(pa.array(order)).select(data_cols)
+            sorted_pids = pids_np[order]
+            bounds = np.flatnonzero(np.diff(sorted_pids)) + 1
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [len(sorted_pids)]))
+            for s, e in zip(starts, ends):
+                buckets.setdefault(int(sorted_pids[s]), []).append(sorted_t.slice(s, e - s))
         out_rows = []
         local_store = ManifestStore(store_root)
         for pid, tables in buckets.items():
@@ -189,11 +211,29 @@ def encode_table(
                 local_store.write_partition(pid, rows, blobs)
             for r in rows:
                 out_rows.append(
-                    (pid, r["column"], r["codec"], r["n_values"], r["raw_bytes"], r["enc_bytes"], r["encode_s"], not already)
+                    {
+                        "pid": pid,
+                        "column": r["column"],
+                        "codec": r["codec"],
+                        "n_values": r["n_values"],
+                        "raw_bytes": r["raw_bytes"],
+                        "enc_bytes": r["enc_bytes"],
+                        "encode_s": r["encode_s"],
+                        "committed": not already,
+                    }
                 )
-        yield pd.DataFrame(
-            out_rows,
-            columns=["pid", "column", "codec", "n_values", "raw_bytes", "enc_bytes", "encode_s", "committed"],
+        schema = pa.schema(
+            [
+                ("pid", pa.int64()),
+                ("column", pa.string()),
+                ("codec", pa.string()),
+                ("n_values", pa.int64()),
+                ("raw_bytes", pa.int64()),
+                ("enc_bytes", pa.int64()),
+                ("encode_s", pa.float64()),
+                ("committed", pa.bool_()),
+            ]
         )
+        yield pa.RecordBatch.from_pylist(out_rows, schema=schema)
 
-    return shuffled.mapInPandas(encode_partition, schema=SUMMARY_SCHEMA)
+    return shuffled.mapInArrow(encode_partition, schema=SUMMARY_SCHEMA)

@@ -26,8 +26,16 @@ SAMPLE_VALUES = 4096
 SAMPLE_BYTES = 1 << 18  # cap string sample payload at 256 KiB
 
 # Tie-break preference: earlier = faster/simpler, wins within TIE_TOLERANCE.
-SPEED_ORDER = ("plain", "bitpack", "for", "rle", "delta", "dict", "delta_length", "fsst")
+SPEED_ORDER = (
+    "plain", "byte_stream_split", "bitpack", "for", "rle", "delta",
+    "dict", "delta_length", "fsst",
+)
 TIE_TOLERANCE = 1.02
+# Codecs that trade encode throughput for size must EARN it: selected only
+# when their (extrapolated) size is below this fraction of the best fast
+# codec. FSST encodes ~2-5 MB/s/core vs ~500 MB/s for delta_length+zstd —
+# a few percent of extra compression never pays for 100× the CPU at 100 TB.
+SLOW_CODEC_FACTOR = {"fsst": 0.80}
 
 
 def _sample(arr: pa.Array, k: int = SAMPLE_VALUES) -> pa.Array:
@@ -104,7 +112,8 @@ def candidate_codecs(stats: dict) -> list[str]:
         cands.append("delta_length")
         return cands
     if token in ("float32", "float64"):
-        cands = ["plain"]
+        # byte-plane split groups exponent bytes → outer codec bites harder
+        cands = ["byte_stream_split", "plain"]
         if stats.get("distinct_ratio", 1.0) <= 0.2:
             cands.insert(0, "dict")
         return cands
@@ -163,8 +172,16 @@ def choose_codec(
             continue
     if not trials:
         return "plain", {"stats": stats, "trials": {}}
-    best_size = min(trials.values())
+    fast_sizes = {c: s for c, s in trials.items() if c not in SLOW_CODEC_FACTOR}
+    best_fast = min(fast_sizes.values()) if fast_sizes else None
+    eligible = {}
+    for c, s in trials.items():
+        factor = SLOW_CODEC_FACTOR.get(c)
+        if factor is not None and best_fast is not None and s > best_fast * factor:
+            continue  # slow codec didn't earn its CPU
+        eligible[c] = s
+    best_size = min(eligible.values())
     # Among near-ties, prefer the faster codec.
-    ok = [c for c, s in trials.items() if s <= best_size * TIE_TOLERANCE]
+    ok = [c for c, s in eligible.items() if s <= best_size * TIE_TOLERANCE]
     ok.sort(key=lambda c: SPEED_ORDER.index(c) if c in SPEED_ORDER else 99)
     return ok[0], {"stats": stats, "trials": trials}

@@ -23,10 +23,22 @@ def get_spark(
     shuffle_partitions: int | None = None,
     driver_memory: str = "48g",
     arrow_batch_rows: int = 4096,
+    task_cpus: int | None = None,
 ) -> SparkSession:
     cores = cpu_count()
     master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cores}]")
     shuffle_partitions = shuffle_partitions or cores
+    if task_cpus is None:
+        # Measured on this host: >16 concurrent Arrow/python workers collapse
+        # throughput (kernel page-fault serialization under the sandbox VM —
+        # sha-over-200MB goes 1.4s@16 → 6.5s@32 workers). Cap concurrent
+        # tasks to ≤16 per host via task.cpus; on a real cluster the same
+        # knob sizes worker concurrency to memory bandwidth per executor.
+        try:
+            n = int(master.split("[")[1].rstrip("]*")) if "[" in master else cores
+        except ValueError:
+            n = cores
+        task_cpus = int(os.environ.get("SPARK_GRAFT_TASK_CPUS", max(1, -(-n // 16))))
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -40,6 +52,7 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.task.cpus", str(task_cpus))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,77 @@
+"""Structured Streaming front-end for the encode pipeline.
+
+The reference is strictly batch (single-threaded file reads); this module is
+the Spark-native extension the brief asks for: a stream of new source files
+is encoded incrementally. Each micro-batch runs the same idempotent
+``encode_table`` — partition ids are content-derived and the manifest commit
+is first-marker-wins, so exactly-once at the partition level falls out of
+the batch machinery (a replayed micro-batch after a crash re-encodes only
+uncommitted partitions, byte-identically).
+
+Watermarked windowed aggregation over an event stream is included as the
+standard late-data pattern (applyInPandasWithState is not needed — the
+engine's stateful unit is the manifest store itself).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.encode import encode_table
+
+
+def encode_stream(
+    stream_df: DataFrame,
+    store_root: str,
+    group_cols: list[str],
+    salt_cols: list[str],
+    checkpoint_dir: str,
+    size_col: str | None = None,
+    target_bytes: int = 64 << 20,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """readStream source → incremental encode via foreachBatch."""
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        encode_table(
+            batch_df,
+            store_root,
+            group_cols=group_cols,
+            salt_cols=salt_cols,
+            size_col=size_col,
+            target_bytes=target_bytes,
+            resume=True,  # replayed batches skip committed partitions
+        ).count()
+
+    writer = (
+        stream_df.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(
+    events_stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation (late data dropped after the
+    watermark), the canonical Structured Streaming stateful pattern."""
+    # Watermarks require TIMESTAMP (with zone); parquet NTZ columns cast up.
+    events_stream = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
+        )
+        .select(F.col("w.start").alias("wstart"), "event_type", "n_events", "sum_value_cents")
+    )

@@ -72,10 +72,16 @@ def test_str_roundtrip(name, codec):
     _roundtrip(STR_ARRAYS[name], codec)
 
 
-@pytest.mark.parametrize("codec", ("plain", "dict"))
+@pytest.mark.parametrize("codec", ("plain", "dict", "byte_stream_split"))
 @pytest.mark.parametrize("name", list(FLOAT_ARRAYS))
 def test_float_roundtrip(name, codec):
     _roundtrip(FLOAT_ARRAYS[name], codec)
+
+
+@pytest.mark.parametrize("codec", ("byte_stream_split",))
+@pytest.mark.parametrize("name", ["int32", "timestamps", "single", "empty_int"])
+def test_bss_on_ints(name, codec):
+    _roundtrip(INT_ARRAYS[name], codec)
 
 
 @pytest.mark.parametrize("codec", INT_CODECS)

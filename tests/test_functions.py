@@ -1,0 +1,134 @@
+"""Unit tests for the training-data operators (dedup, similarity, text,
+multimodal) on planted fixtures with known answers."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from parzig_spark.functions import dedup as ded
+from parzig_spark.functions import multimodal as mm
+from parzig_spark.functions import similarity as sim
+from parzig_spark.functions import text as tx
+
+DOC = (
+    "The quick brown fox jumps over the lazy dog. "
+    "Compression engines pack columns into small encoded blobs. "
+) * 20
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(40):
+        rows.append((i, DOC + f"unique tail {rng.integers(1e9)}"))
+    # planted near-dup pair: identical except one word
+    rows.append((100, DOC + "unique tail SAME"))
+    rows.append((101, DOC.replace("lazy", "sleepy") + "unique tail SAME"))
+    # planted exact dup pair (after whitespace normalization)
+    rows.append((200, "exactly  the same\ttext"))
+    rows.append((201, "exactly the same text"))
+    # unrelated
+    rows.append((300, "".join(chr(33 + int(c)) for c in rng.integers(0, 90, 2000))))
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_dedup_exact_normalized(spark, docs):
+    kept = ded.dedup_exact(docs, "text", "doc_id")
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert 200 in ids and 201 not in ids  # normalized dup dropped, keeper=min
+
+
+def test_minhash_finds_planted_near_dup(spark, docs):
+    pairs = ded.minhash_lsh_candidates(docs, "text", "doc_id")
+    got = {(r["key_a"], r["key_b"]) for r in pairs.collect()}
+    assert (100, 101) in got
+    verified = ded.ngram_jaccard(docs, pairs, "text", "doc_id")
+    j = {(r["key_a"], r["key_b"]): r["jaccard"] for r in verified.collect()}
+    assert j[(100, 101)] > 0.8
+    # unrelated high-entropy doc must pair with nothing
+    assert not any(300 in p for p in got)
+
+
+def test_simhash_hamming(spark, docs):
+    sh = {r["doc_id"]: r["simhash"] for r in ded.simhash(docs, "text", "doc_id").collect()}
+    def ham(a, b):
+        return bin((a & 0xFFFFFFFFFFFFFFFF) ^ (b & 0xFFFFFFFFFFFFFFFF)).count("1")
+    assert ham(sh[100], sh[101]) <= 6
+    assert ham(sh[100], sh[300]) > 10
+
+
+def test_embedding_near_dups_planted(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(50, 32)).astype(np.float32)
+    vecs[42] = vecs[7] + rng.normal(scale=0.01, size=32).astype(np.float32)  # near-dup
+    rows = [(i, v.tolist()) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = ded.embedding_near_dups(df, threshold=0.95, n_planes=4)
+    got = {(r["key_a"], r["key_b"]) for r in pairs.collect()}
+    assert (7, 42) in got
+
+
+def test_cosine_topk_matches_numpy(spark):
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(200, 16)).astype(np.float32)
+    rows = [(i, v.tolist()) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") == 0)
+    got = [r["vec_id"] for r in sim.cosine_topk(df.filter("vec_id != 0"), q, k=10).collect()]
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = unit[1:] @ unit[0]
+    expect = (np.argsort(-sims)[:10] + 1).tolist()
+    assert got == expect
+
+
+def test_lsh_topk_recall(spark):
+    rng = np.random.default_rng(13)
+    vecs = rng.normal(size=(500, 16)).astype(np.float32)
+    vecs[77] = vecs[0] * 1.001  # planted exact neighbor
+    rows = [(i, v.tolist()) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    indexed = sim.lsh_index(df.filter("vec_id != 0"), n_planes=6)
+    got = [r["vec_id"] for r in sim.lsh_topk(indexed, vecs[0].tolist(), k=5, n_planes=6).collect()]
+    assert got[0] == 77  # the planted neighbor must be ranked first
+
+
+def test_text_stats_edges(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "one two  three\nfour"), (4, "héllo 🚀")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in tx.text_stats(df, "text", ["doc_id"]).collect()}
+    assert got[1]["n_tokens"] == 0 and got[2]["n_tokens"] == 0
+    assert got[3]["n_tokens"] == 4 and got[3]["n_lines"] == 2
+    assert got[4]["n_bytes"] > got[4]["n_chars"]  # multibyte utf-8
+
+
+def test_lang_id_on_snippets(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "def main():\n    return [x for x in range(10)]\nimport os\n" * 5),
+            (2, '{"name": "pkg", "version": "1.0.0", "dependencies": {"a": "2"}}'),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["lang_pred"] for r in tx.lang_id(df, "text", ["doc_id"]).collect()}
+    assert got[1] == "python"
+    assert got[2] == "json"
+
+
+def test_multimodal_sniff_and_stub(spark):
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 100
+    assert mm.sniff_format(png) == "png"
+    assert mm.sniff_format(b"") == "empty"
+    with pytest.raises(NotImplementedError):
+        mm.decode_media(png, fake=False)
+    feats = mm.decode_media(png, fake=True)
+    assert feats.shape == (16,) and abs(feats.sum() - 1.0) < 1e-5
+
+    df = spark.createDataFrame([(1, bytearray(png)), (2, bytearray(b"plain"))], "doc_id long, data binary")
+    out = {r["doc_id"]: r for r in mm.extract_features(df, "data", ["doc_id"]).collect()}
+    assert out[1]["format"] == "png" and len(out[1]["feature"]) == 16
+    meta = {r["doc_id"]: r for r in mm.media_metadata(df, "data", ["doc_id"]).collect()}
+    assert meta[1]["n_bytes"] == len(png)
+    assert meta[1]["magic_hex"].startswith("89504e47")

@@ -246,6 +246,52 @@ def q_multimodal_features(spark, sf_dir):
     return mm.extract_features(as_bin, "data", ["doc_id"], fake=True)
 
 
+def q_window_rank_orders(spark, sf_dir):
+    from pyspark.sql import Window
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate"), F.col("o_orderkey"))
+    ranked = orders.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.filter(F.col("rn") <= 3)
+        .select("o_custkey", "rn", "o_orderkey")
+        .orderBy("o_custkey", "rn")
+    )
+
+
+def q_semi_join_active_customers(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    active = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+    inactive = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+    return (
+        active.select("c_mktsegment").groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(
+            inactive.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_inactive")),
+            "c_mktsegment",
+            "full_outer",
+        )
+        .fillna(0)
+        .orderBy("c_mktsegment")
+    )
+
+
+def q_topk_orders(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        orders.select(
+            "o_orderkey", F.floor(F.col("o_totalprice") * 100).cast("long").alias("price_cents")
+        )
+        .orderBy(F.col("price_cents").desc(), F.col("o_orderkey"))
+        .limit(25)
+    )
+
+
+def q_distinct_part_types(spark, sf_dir):
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return part.select("p_brand", "p_type").distinct().orderBy("p_brand", "p_type")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "roundtrip_documents": q_roundtrip_documents,
@@ -268,6 +314,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "multimodal_metadata": q_multimodal_metadata,
         "multimodal_features": q_multimodal_features,
+        "window_rank_orders": q_window_rank_orders,
+        "semi_join_active_customers": q_semi_join_active_customers,
+        "topk_orders": q_topk_orders,
+        "distinct_part_types": q_distinct_part_types,
     }
 
 
@@ -355,6 +405,37 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(encode(text)) AS n_bytes,
                    lower(substring(hex(encode(text)), 1, 16)) AS magic_hex
             FROM documents ORDER BY doc_id
+        """,
+        "window_rank_orders": """
+            SELECT o_custkey, rn, o_orderkey FROM (
+              SELECT o_custkey, o_orderkey,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey) AS rn
+              FROM orders
+            ) WHERE rn <= 3 ORDER BY o_custkey, rn
+        """,
+        "semi_join_active_customers": """
+            WITH active AS (
+              SELECT c_mktsegment, count(*) AS n_active FROM customer
+              WHERE c_custkey IN (SELECT o_custkey FROM orders)
+              GROUP BY c_mktsegment
+            ), inactive AS (
+              SELECT c_mktsegment, count(*) AS n_inactive FROM customer
+              WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+              GROUP BY c_mktsegment
+            )
+            SELECT c_mktsegment,
+                   coalesce(n_active, 0) AS n_active,
+                   coalesce(n_inactive, 0) AS n_inactive
+            FROM active FULL OUTER JOIN inactive USING (c_mktsegment)
+            ORDER BY c_mktsegment
+        """,
+        "topk_orders": """
+            SELECT o_orderkey, CAST(floor(o_totalprice*100) AS BIGINT) AS price_cents
+            FROM orders ORDER BY price_cents DESC, o_orderkey LIMIT 25
+        """,
+        "distinct_part_types": """
+            SELECT DISTINCT p_brand, p_type FROM part ORDER BY p_brand, p_type
         """,
     }
 

@@ -28,6 +28,7 @@ import pyarrow as pa
 from . import (
     bitpack,
     byte_stream_split,
+    delta_byte,
     delta_for,
     delta_length,
     dictionary,
@@ -40,7 +41,7 @@ from .rle_bitpack import decode_u64, encode_u64
 
 CODEC_NAMES = (
     "plain", "rle", "bitpack", "dict", "delta", "for",
-    "delta_length", "fsst", "byte_stream_split",
+    "delta_length", "delta_byte", "fsst", "byte_stream_split",
 )
 
 _ENCODERS = {
@@ -51,6 +52,7 @@ _ENCODERS = {
     "delta": functools.partial(delta_for.encode, mode="delta"),
     "for": functools.partial(delta_for.encode, mode="for"),
     "delta_length": delta_length.encode,
+    "delta_byte": delta_byte.encode,
     "fsst": fsst.encode,
     "byte_stream_split": byte_stream_split.encode,
 }
@@ -63,6 +65,7 @@ _DECODERS = {
     "delta": delta_for.decode,
     "for": delta_for.decode,
     "delta_length": delta_length.decode,
+    "delta_byte": delta_byte.decode,
     "fsst": fsst.decode,
     "byte_stream_split": byte_stream_split.decode,
 }

@@ -1,0 +1,116 @@
+"""DELTA_BYTE_ARRAY codec — incremental (prefix) string compression.
+
+Re-creates /root/reference/src/parquet/physical.zig:196-234 in both
+directions: value[i] = value[i-1][:prefix_len[i]] + suffix[i]. Wins on
+sorted or clustered string columns (paths, URLs, identifiers).
+
+Both directions are fully vectorized despite the sequential-looking chain:
+
+- encode: adjacent common prefixes via a (n, 64) first-bytes matrix
+  (cumprod of byte equality), suffix extraction via a diff-mask cumsum —
+  prefixes are capped at 64 bytes, which captures virtually all sharing;
+- decode: the chain value[i] ← value[i-1] only ever copies bytes at
+  column positions k < 64, and for a fixed k the dependency is exactly a
+  forward-fill along rows — resolved with one maximum.accumulate gather per
+  column. 64 vectorized passes, no per-row Python.
+
+Layout: [FOR(prefix_lens)][FOR(suffix_lens)][suffix bytes].
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from . import delta_for, dtypes
+
+NAME = "delta_byte"
+PREFIX_CAP = 64
+
+
+def _first_bytes_matrix(lengths: np.ndarray, data: np.ndarray) -> np.ndarray:
+    """(n, PREFIX_CAP) matrix of each value's first bytes (zero-padded)."""
+    n = len(lengths)
+    offsets = np.zeros(n, dtype=np.int64)
+    np.cumsum(lengths[:-1], out=offsets[1:])
+    k = np.arange(PREFIX_CAP, dtype=np.int64)
+    idx = offsets[:, None] + k[None, :]
+    valid = k[None, :] < lengths[:, None]
+    padded = np.zeros(max(len(data), 1) + PREFIX_CAP, dtype=np.uint8)
+    padded[: len(data)] = data
+    m = padded[np.where(valid, idx, 0)]
+    m[~valid] = 0
+    return m
+
+
+def encode(arr: pa.Array) -> tuple[bytes, dict]:
+    token = dtypes.dtype_token(arr.type)
+    if not dtypes.is_string_like(token):
+        raise TypeError(f"delta_byte codec is for string-like types, got {token}")
+    lengths, data = dtypes.string_buffers(arr)
+    n = len(lengths)
+    if n == 0:
+        prefix = np.zeros(0, dtype=np.int64)
+    else:
+        m = _first_bytes_matrix(lengths, data)
+        eq = m[1:] == m[:-1]
+        run = np.cumprod(eq, axis=1, dtype=np.int64).sum(axis=1)
+        cap = np.minimum(lengths[1:], lengths[:-1])
+        prefix = np.concatenate(([0], np.minimum(run, np.minimum(cap, PREFIX_CAP))))
+    suffix_lens = lengths - prefix
+    # Drop each value's first prefix[i] bytes via a diff-mask cumsum.
+    total = int(lengths.sum())
+    offsets = np.zeros(n, dtype=np.int64)
+    if n:
+        np.cumsum(lengths[:-1], out=offsets[1:])
+    d = np.zeros(total + 1, dtype=np.int64)
+    np.add.at(d, offsets, 1)
+    np.add.at(d, offsets + prefix, -1)
+    keep = np.cumsum(d[:total]) == 0
+    suffix_data = data[keep]
+    p_blob, p_meta = delta_for.encode(pa.array(prefix, pa.int64()), mode="for")
+    s_blob, s_meta = delta_for.encode(pa.array(suffix_lens, pa.int64()), mode="for")
+    meta = {
+        "dtype": token,
+        "p_meta": p_meta,
+        "s_meta": s_meta,
+        "sections": [len(p_blob), len(s_blob), int(suffix_data.nbytes)],
+    }
+    return p_blob + s_blob + suffix_data.tobytes(), meta
+
+
+def decode(blob, meta: dict, n: int) -> pa.Array:
+    s0, s1, _ = meta["sections"]
+    mv = memoryview(blob)
+    prefix = delta_for.decode(mv[:s0], meta["p_meta"], n).to_numpy(zero_copy_only=False)
+    suffix_lens = delta_for.decode(mv[s0 : s0 + s1], meta["s_meta"], n).to_numpy(
+        zero_copy_only=False
+    )
+    suffix_data = np.frombuffer(mv[s0 + s1 :], dtype=np.uint8)
+    lengths = prefix + suffix_lens
+    total = int(lengths.sum())
+    out = np.zeros(total, dtype=np.uint8)
+    offsets = np.zeros(n, dtype=np.int64)
+    if n:
+        np.cumsum(lengths[:-1], out=offsets[1:])
+    # Scatter suffix bytes into their final positions (complement of the
+    # prefix regions — same diff-mask as encode).
+    d = np.zeros(total + 1, dtype=np.int64)
+    np.add.at(d, offsets, 1)
+    np.add.at(d, offsets + prefix, -1)
+    is_suffix = np.cumsum(d[:total]) == 0
+    out[is_suffix] = suffix_data
+    if n and prefix.max() > 0:
+        # Column-wise forward-fill for the first PREFIX_CAP byte positions.
+        k = np.arange(PREFIX_CAP, dtype=np.int64)
+        has_col = k[None, :] < lengths[:, None]  # value i has a byte at k
+        own = k[None, :] >= prefix[:, None]  # byte at k is its own (suffix)
+        rows = np.arange(n, dtype=np.int64)
+        src = np.where(own, rows[:, None], 0)
+        src = np.maximum.accumulate(src, axis=0)  # forward-fill row index
+        gather_pos = offsets[src] + k[None, :]
+        col_vals = np.where(has_col, out[np.minimum(gather_pos, total - 1)], 0)
+        write_pos = offsets[:, None] + k[None, :]
+        copy_mask = (~own) & has_col
+        out[write_pos[copy_mask]] = col_vals[copy_mask]
+    return dtypes.strings_from_buffers(lengths, out, meta["dtype"])

@@ -96,6 +96,31 @@ class ManifestStore:
         except FileExistsError:
             pass
 
+    # -- snapshots (manifest-list) -------------------------------------------
+    def write_snapshot(self) -> str:
+        """Compact the committed manifest set into one snapshot parquet —
+        the Iceberg manifest-list analog. At 10^12-file scale a reader must
+        not listdir millions of markers; it reads the latest snapshot in
+        O(1). Written by the (single) job driver after the encode action, so
+        plain last-writer-wins versioned files suffice (Iceberg swaps a
+        catalog pointer for the same reason)."""
+        table = self._read_manifest_files()
+        snap_dir = os.path.join(self.root, "snapshots")
+        os.makedirs(snap_dir, exist_ok=True)
+        version = len([f for f in os.listdir(snap_dir) if f.endswith(".parquet")])
+        final = os.path.join(snap_dir, f"snap-{version:06d}.parquet")
+        tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
+        pq.write_table(table, tmp)
+        os.replace(tmp, final)
+        return final
+
+    def latest_snapshot(self) -> str | None:
+        snap_dir = os.path.join(self.root, "snapshots")
+        if not os.path.isdir(snap_dir):
+            return None
+        snaps = sorted(f for f in os.listdir(snap_dir) if f.endswith(".parquet"))
+        return os.path.join(snap_dir, snaps[-1]) if snaps else None
+
     # -- readers ------------------------------------------------------------
     def blob_path(self, pid: int, column: str) -> str:
         return os.path.join(self.blob_dir, str(pid), f"{column}.bin")
@@ -104,8 +129,7 @@ class ManifestStore:
         with open(self.blob_path(pid, column), "rb") as f:
             return f.read()
 
-    def read_manifests(self) -> pa.Table:
-        """All committed manifest rows (uncommitted partitions invisible)."""
+    def _read_manifest_files(self) -> pa.Table:
         tables = []
         for pid in sorted(self.committed_pids()):
             path = os.path.join(self.manifest_dir, f"part-{pid}.parquet")
@@ -113,6 +137,19 @@ class ManifestStore:
         if not tables:
             return MANIFEST_SCHEMA.empty_table()
         return pa.concat_tables(tables)
+
+    def read_manifests(self) -> pa.Table:
+        """All committed manifest rows (uncommitted partitions invisible).
+
+        Reads the latest snapshot when one covers every committed partition;
+        falls back to per-partition manifests otherwise (snapshot stale or
+        absent)."""
+        snap = self.latest_snapshot()
+        if snap is not None:
+            table = pq.read_table(snap)
+            if set(table.column("pid").to_pylist()) >= self.committed_pids():
+                return table
+        return self._read_manifest_files()
 
     def manifest_glob(self) -> list[str]:
         return [

@@ -71,16 +71,26 @@ def column_stats(arr: pa.Array | pa.ChunkedArray) -> dict:
     stats["sample_card"] = distinct
     if dtypes.is_string_like(token):
         lengths, data = dtypes.string_buffers(sample)
-        data = data[:SAMPLE_BYTES]
         stats["avg_len"] = float(lengths.mean()) if m else 0.0
-        if len(data):
-            counts = np.bincount(data, minlength=256)
-            p = counts[counts > 0] / len(data)
+        ent_data = data[:SAMPLE_BYTES]
+        if len(ent_data):
+            counts = np.bincount(ent_data, minlength=256)
+            p = counts[counts > 0] / len(ent_data)
             stats["byte_entropy"] = float(-(p * np.log2(p)).sum())
         else:
             stats["byte_entropy"] = 0.0
         same = np.asarray(pa.compute.equal(sample[1:], sample[:-1]), dtype=bool) if m > 1 else np.zeros(0, bool)
         stats["mean_run_len"] = m / max(1, m - int(same.sum())) if m else 1.0
+        if m > 1 and stats["avg_len"] > 0:
+            from .codecs.delta_byte import PREFIX_CAP, _first_bytes_matrix
+
+            fb = _first_bytes_matrix(lengths, data)
+            eq = fb[1:] == fb[:-1]
+            run = np.cumprod(eq, axis=1, dtype=np.int64).sum(axis=1)
+            cap = np.minimum(lengths[1:], lengths[:-1])
+            stats["prefix_ratio"] = float(
+                np.minimum(run, np.minimum(cap, PREFIX_CAP)).mean() / max(stats["avg_len"], 1.0)
+            )
     elif token in ("float32", "float64"):
         pass
     else:
@@ -109,6 +119,8 @@ def candidate_codecs(stats: dict) -> list[str]:
             cands.append("dict")
         if stats.get("byte_entropy", 8.0) < 6.5 and stats.get("avg_len", 0) >= 4:
             cands.append("fsst")
+        if stats.get("prefix_ratio", 0.0) >= 0.25:
+            cands.append("delta_byte")
         cands.append("delta_length")
         return cands
     if token in ("float32", "float64"):

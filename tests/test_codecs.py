@@ -142,3 +142,22 @@ def test_chunked_array_input():
     chunked = pa.chunked_array([pa.array([1, 2, 3], pa.int64()), pa.array([4, 5], pa.int64())])
     blob, meta = encode_column(chunked, "rle")
     assert decode_column(blob, meta).equals(pa.array([1, 2, 3, 4, 5], pa.int64()))
+
+
+@pytest.mark.parametrize("name", list(STR_ARRAYS))
+def test_delta_byte_roundtrip(name):
+    _roundtrip(STR_ARRAYS[name], "delta_byte")
+
+
+def test_delta_byte_on_sorted_paths():
+    paths = pa.array(sorted(f"src/module_{i//50}/sub_{i//10}/file_{i}.py" for i in range(3000)))
+    blob, meta = encode_column(paths, "delta_byte", outer=None)
+    plain_blob, _ = encode_column(paths, "plain", outer=None)
+    assert len(blob) < plain_blob.__len__() * 0.6
+    assert decode_column(blob, meta).equals(paths)
+
+
+def test_delta_byte_nulls():
+    vals = [f"prefix/common/{i}" if i % 3 else None for i in range(500)]
+    arr = pa.array(vals, pa.string())
+    _roundtrip(arr, "delta_byte")

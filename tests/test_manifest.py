@@ -64,3 +64,19 @@ def test_column_meta(tmp_path):
     assert store.column_meta(9, "b")["codec"] == "plain" or True  # meta_json roundtrip
     meta = store.column_meta(9, "a")
     assert meta == {"codec": "plain", "n": 3}
+
+
+def test_snapshot_roundtrip(tmp_path):
+    store = ManifestStore(str(tmp_path))
+    store.write_partition(1, [_row(1)], {"c": b"one"})
+    store.write_partition(2, [_row(2)], {"c": b"two"})
+    snap = store.write_snapshot()
+    assert store.latest_snapshot() == snap
+    t = store.read_manifests()
+    assert sorted(t.column("pid").to_pylist()) == [1, 2]
+    # a partition committed after the snapshot must still be visible
+    store.write_partition(3, [_row(3)], {"c": b"three"})
+    t2 = store.read_manifests()
+    assert sorted(t2.column("pid").to_pylist()) == [1, 2, 3]
+    snap2 = store.write_snapshot()
+    assert snap2 != snap and store.latest_snapshot() == snap2

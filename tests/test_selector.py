@@ -27,7 +27,7 @@ CASES = {
     ),
     "prefix_strings": (
         pa.array([f"apple_banana_mango{i*i}" for i in range(2000)]),
-        {"fsst", "delta_length"},
+        {"fsst", "delta_length", "delta_byte"},
     ),
     "high_entropy_bytes": (
         pa.array([RNG.bytes(24).hex() for _ in range(2000)]),

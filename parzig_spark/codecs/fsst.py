@@ -197,7 +197,11 @@ def _tokenize(sample: np.ndarray, symbols: list[bytes]) -> list[bytes]:
     return toks
 
 
-def train(data: bytes, sample_bytes: int = TRAIN_SAMPLE_BYTES) -> list[bytes]:
+def train(
+    data: bytes,
+    sample_bytes: int = TRAIN_SAMPLE_BYTES,
+    iterations: int = TRAIN_ITERATIONS,
+) -> list[bytes]:
     """Iterative apparent-gain symbol selection (paper §4.4, simplified).
 
     The sample is *stratified*: evenly-spaced 512-byte slices across the
@@ -214,7 +218,7 @@ def train(data: bytes, sample_bytes: int = TRAIN_SAMPLE_BYTES) -> list[bytes]:
         whole = np.frombuffer(data, dtype=np.uint8)
         sample = np.concatenate([whole[s : s + 512] for s in starts])
     symbols: list[bytes] = []
-    for _ in range(TRAIN_ITERATIONS):
+    for _ in range(iterations):
         if not symbols:
             byte_freq = np.bincount(sample, minlength=256)
             cand: Counter = Counter()

@@ -154,34 +154,58 @@ def choose_codec(
     cands = candidate_codecs(stats)
     if len(cands) == 1:
         return cands[0], {"stats": stats, "trials": {}}
-    # Two-point trials: encode a small and a larger sample, extrapolate
-    # linearly to the full column so flat-cost codecs (RLE on long runs)
-    # are not mistaken for per-value-cost ones (bit-pack/FOR) at sample size.
     nn = len(arr)
     values = arr.drop_null() if arr.null_count else arr
-    # Bound trial payload: wide string columns would otherwise push MBs
-    # through every candidate codec just to pick one.
     avg_len = max(stats.get("avg_len", 8.0), 1.0)
-    budget_vals = max(64, int((256 << 10) / avg_len))
-    m1, m2 = min(512, nn, max(64, budget_vals // 4)), min(2048, nn, budget_vals)
-    s_small = _sample(values, m1)
-    s_big = _sample(values, m2)
+    total_bytes = nn * avg_len if dtypes.is_string_like(stats.get("dtype", "")) else nn * 8
+
+    def trial_encode(sample: pa.Array, codec: str) -> int:
+        # Count the serialized meta too — FSST symbol tables and dict
+        # values live there; comparing blobs alone would be unfair.
+        if codec == "fsst":
+            # Cheap trial training — full training happens once, on the
+            # winner, at encode time.
+            from .codecs import fsst as fsst_mod
+
+            _, data = dtypes.string_buffers(sample)
+            symbols = fsst_mod.train(data.tobytes(), sample_bytes=8192, iterations=2)
+            blob, meta = fsst_mod.encode(sample, symbols=symbols)
+            meta = {"codec": codec, "n": len(sample), "codec_meta": meta}
+        else:
+            blob, meta = encode_column(sample, codec, outer=outer)
+        return len(blob) + len(json.dumps(meta).encode())
+
     trials: dict[str, int] = {}
-    for codec in cands:
-        try:
-            # Count the serialized meta too — FSST symbol tables and dict
-            # values live there; comparing blobs alone would be unfair.
-            b2, meta2 = encode_column(s_big, codec, outer=outer)
-            size2 = len(b2) + len(json.dumps(meta2).encode())
-            if m2 > m1 and nn > m2:
-                b1, meta1 = encode_column(s_small, codec, outer=outer)
-                size1 = len(b1) + len(json.dumps(meta1).encode())
-                per_value = max(0.0, (size2 - size1) / (m2 - m1))
-                trials[codec] = int(size1 + per_value * (nn - m1))
-            else:
-                trials[codec] = size2
-        except (TypeError, ValueError):
-            continue
+    if total_bytes <= 512 << 10:
+        # Small column: trial-encode the whole thing — exact sizes, no
+        # sampling machinery (the real encode of the winner costs the same
+        # again, which is negligible at this size).
+        for codec in cands:
+            try:
+                trials[codec] = trial_encode(values, codec)
+            except (TypeError, ValueError):
+                continue
+    else:
+        # Two-point trials: encode a small and a larger sample, extrapolate
+        # linearly to the full column so flat-cost codecs (RLE on long runs)
+        # are not mistaken for per-value-cost ones (bit-pack/FOR) at sample
+        # size. Trial payload bounded so wide string columns don't push MBs
+        # through every candidate just to pick one.
+        budget_vals = max(64, int((256 << 10) / avg_len))
+        m1, m2 = min(512, nn, max(64, budget_vals // 4)), min(2048, nn, budget_vals)
+        s_small = _sample(values, m1)
+        s_big = _sample(values, m2)
+        for codec in cands:
+            try:
+                size2 = trial_encode(s_big, codec)
+                if m2 > m1 and nn > m2:
+                    size1 = trial_encode(s_small, codec)
+                    per_value = max(0.0, (size2 - size1) / (m2 - m1))
+                    trials[codec] = int(size1 + per_value * (nn - m1))
+                else:
+                    trials[codec] = size2
+            except (TypeError, ValueError):
+                continue
     if not trials:
         return "plain", {"stats": stats, "trials": {}}
     fast_sizes = {c: s for c, s in trials.items() if c not in SLOW_CODEC_FACTOR}

@@ -246,6 +246,23 @@ def q_multimodal_features(spark, sf_dir):
     return mm.extract_features(as_bin, "data", ["doc_id"], fake=True)
 
 
+def q_roundtrip_embeddings(spark, sf_dir):
+    dec = _roundtrip(spark, sf_dir, "embeddings", ["label"], ["vec_id"])
+    return dec.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.floor(
+            F.aggregate(
+                F.transform(F.col("embedding"), lambda x: x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            * 1000
+        ).cast("long").alias("sum_milli"),
+    ).orderBy("vec_id")
+
+
 def q_window_rank_orders(spark, sf_dir):
     from pyspark.sql import Window
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -314,6 +331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "multimodal_metadata": q_multimodal_metadata,
         "multimodal_features": q_multimodal_features,
+        "roundtrip_embeddings": q_roundtrip_embeddings,
         "window_rank_orders": q_window_rank_orders,
         "semi_join_active_customers": q_semi_join_active_customers,
         "topk_orders": q_topk_orders,
@@ -405,6 +423,11 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(encode(text)) AS n_bytes,
                    lower(substring(hex(encode(text)), 1, 16)) AS magic_hex
             FROM documents ORDER BY doc_id
+        """,
+        "roundtrip_embeddings": """
+            SELECT vec_id, label, len(embedding) AS dim,
+                   CAST(floor(list_sum(CAST(embedding AS DOUBLE[])) * 1000) AS BIGINT) AS sum_milli
+            FROM embeddings ORDER BY vec_id
         """,
         "window_rank_orders": """
             SELECT o_custkey, rn, o_orderkey FROM (

@@ -100,6 +100,55 @@ def encode_column(
     (/root/reference/src/parquet/nestedReader.zig:85-144).
     """
     arr = _combine(arr)
+    if pa.types.is_map(arr.type) or codec == "map":
+        # MAP == list<struct<key,value>> zipped by shared offsets — the same
+        # shape the reference's readMap reassembles
+        # (/root/reference/src/parquet/nestedReader.zig:12-62).
+        n = len(arr)
+        meta = {"codec": "map", "n": n}
+        validity_blob = b""
+        if arr.null_count:
+            valid = ~np.asarray(arr.is_null())
+            validity_blob, _ = encode_u64(valid.astype(np.uint64), width=1)
+            meta["null_count"] = arr.null_count
+            meta["validity_len"] = len(validity_blob)
+            arr = arr.drop_null()
+        lengths = pa.array(
+            np.diff(np.asarray(arr.offsets.to_numpy(zero_copy_only=False))).astype("int64")
+        )
+        lens_blob, lens_meta = delta_for.encode(lengths, mode="for")
+        keys_blob, keys_meta = encode_column(arr.keys, _default_child_codec(arr.keys.type), outer=outer)
+        items_blob, items_meta = encode_column(arr.items, _default_child_codec(arr.items.type), outer=outer)
+        meta["lens_meta"] = lens_meta
+        meta["keys_meta"] = keys_meta
+        meta["items_meta"] = items_meta
+        meta["sections"] = [len(lens_blob), len(keys_blob), len(items_blob)]
+        return validity_blob + lens_blob + keys_blob + items_blob, meta
+    if pa.types.is_struct(arr.type) or codec == "struct":
+        # STRUCT == consecutive child columns, like the reference's
+        # readStruct (/root/reference/src/parquet/nestedReader.zig:64-83).
+        n = len(arr)
+        meta = {"codec": "struct", "n": n}
+        validity_blob = b""
+        if arr.null_count:
+            valid = ~np.asarray(arr.is_null())
+            validity_blob, _ = encode_u64(valid.astype(np.uint64), width=1)
+            meta["null_count"] = arr.null_count
+            meta["validity_len"] = len(validity_blob)
+            arr = arr.drop_null()
+        fields, blobs, metas, sections = [], [], [], []
+        for i in range(arr.type.num_fields):
+            field = arr.type.field(i)
+            child = arr.field(i)
+            cb, cm = encode_column(child, _default_child_codec(child.type), outer=outer)
+            fields.append(field.name)
+            blobs.append(cb)
+            metas.append(cm)
+            sections.append(len(cb))
+        meta["fields"] = fields
+        meta["children"] = metas
+        meta["sections"] = sections
+        return validity_blob + b"".join(blobs), meta
     if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type) or codec == "list":
         n = len(arr)
         meta = {"codec": "list", "n": n, "large": pa.types.is_large_list(arr.type)}
@@ -150,6 +199,31 @@ def decode_column(blob, meta: dict) -> pa.Array:
         valid = decode_u64(mv[:vlen], n, 1).astype(bool)
         mv = mv[vlen:]
         n_valid = int(valid.sum())
+    if meta["codec"] == "map":
+        s0, s1, _ = meta["sections"]
+        lengths = delta_for.decode(mv[:s0], meta["lens_meta"], n_valid).to_numpy(zero_copy_only=False)
+        keys = decode_column(mv[s0 : s0 + s1], meta["keys_meta"])
+        items = decode_column(mv[s0 + s1 :], meta["items_meta"])
+        offsets = np.zeros(n_valid + 1, dtype="<i4")
+        np.cumsum(lengths, out=offsets[1:])
+        values = pa.MapArray.from_arrays(pa.array(offsets), keys, items)
+        if valid is None:
+            return values
+        idx = np.zeros(n, dtype=np.int64)
+        idx[valid] = np.arange(n_valid)
+        return values.take(pa.array(idx, type=pa.int64(), mask=~valid))
+    if meta["codec"] == "struct":
+        children = []
+        pos = 0
+        for cm, ln in zip(meta["children"], meta["sections"]):
+            children.append(decode_column(mv[pos : pos + ln], cm))
+            pos += ln
+        values = pa.StructArray.from_arrays(children, names=meta["fields"])
+        if valid is None:
+            return values
+        idx = np.zeros(n, dtype=np.int64)
+        idx[valid] = np.arange(n_valid)
+        return values.take(pa.array(idx, type=pa.int64(), mask=~valid))
     if meta["codec"] == "list":
         s0, _ = meta["sections"]
         lengths = delta_for.decode(mv[:s0], meta["lens_meta"], n_valid).to_numpy(zero_copy_only=False)

@@ -44,6 +44,13 @@ def _spark_type(meta: dict) -> str:
     if meta.get("codec") == "list":
         child = _spark_type(meta["child_meta"])
         return f"array<{child}>"
+    if meta.get("codec") == "map":
+        return f"map<{_spark_type(meta['keys_meta'])},{_spark_type(meta['items_meta'])}>"
+    if meta.get("codec") == "struct":
+        inner = ",".join(
+            f"{name}:{_spark_type(cm)}" for name, cm in zip(meta["fields"], meta["children"])
+        )
+        return f"struct<{inner}>"
     return _TOKEN_TO_SPARK[codec_meta["dtype"]]
 
 

@@ -132,7 +132,12 @@ def encode_table(
     """
     spark = df.sparkSession
     salt_cols = salt_cols or [c for c in df.columns if c not in group_cols][:1]
-    sort_cols = sort_cols or list(df.columns)
+    if sort_cols is None:
+        # canonical order key: every non-nested column (Arrow can't sort
+        # list/map/struct, and they'd be poor keys anyway)
+        sort_cols = [
+            c for c, t in df.dtypes if not t.startswith(("array", "map", "struct"))
+        ]
     store = ManifestStore(store_root)
     with_pid, n_buckets = plan_partitions(df, group_cols, salt_cols, target_bytes, size_col)
 
@@ -181,7 +186,8 @@ def encode_table(
         local_store = ManifestStore(store_root)
         for pid, tables in buckets.items():
             table = pa.concat_tables(tables)
-            table = table.sort_by([(c, "ascending") for c in sort_cols])
+            if sort_cols:
+                table = table.sort_by([(c, "ascending") for c in sort_cols])
             rows, blobs = [], {}
             for column in data_cols:
                 arr = table.column(column).combine_chunks()

@@ -56,11 +56,16 @@ def column_stats(arr: pa.Array | pa.ChunkedArray) -> dict:
     stats: dict = {"n": n, "null_frac": (arr.null_count / n) if n else 0.0}
     if n == 0:
         return stats
-    token = dtypes.dtype_token(arr.type) if not (
-        pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type)
-    ) else "list"
+    if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
+        token = "list"
+    elif pa.types.is_map(arr.type):
+        token = "map"
+    elif pa.types.is_struct(arr.type):
+        token = "struct"
+    else:
+        token = dtypes.dtype_token(arr.type)
     stats["dtype"] = token
-    if token == "list":
+    if token in ("list", "map", "struct"):
         return stats
     sample = _sample(arr.drop_null() if arr.null_count else arr)
     m = len(sample)
@@ -111,8 +116,8 @@ def candidate_codecs(stats: dict) -> list[str]:
     token = stats.get("dtype")
     if token is None or stats["n"] == 0:
         return ["plain"]
-    if token == "list":
-        return ["list"]
+    if token in ("list", "map", "struct"):
+        return [token]
     if dtypes.is_string_like(token):
         cands = []
         if stats.get("distinct_ratio", 1.0) <= 0.5:

@@ -161,3 +161,39 @@ def test_delta_byte_nulls():
     vals = [f"prefix/common/{i}" if i % 3 else None for i in range(500)]
     arr = pa.array(vals, pa.string())
     _roundtrip(arr, "delta_byte")
+
+
+def test_struct_roundtrip():
+    arr = pa.array(
+        [{"a": i, "b": f"s{i%7}", "c": float(i) / 3} for i in range(500)],
+        pa.struct([("a", pa.int64()), ("b", pa.string()), ("c", pa.float64())]),
+    )
+    blob, meta = encode_column(arr, "struct")
+    assert decode_column(blob, meta).equals(arr)
+    # with nulls
+    vals = [{"a": i, "b": "x", "c": 1.0} if i % 3 else None for i in range(200)]
+    arr2 = pa.array(vals, arr.type)
+    blob2, meta2 = encode_column(arr2, "struct")
+    assert decode_column(blob2, meta2).equals(arr2)
+
+
+def test_map_roundtrip():
+    t = pa.map_(pa.string(), pa.int64())
+    arr = pa.array(
+        [[(f"k{j}", i * j) for j in range(i % 5)] for i in range(300)], t
+    )
+    blob, meta = encode_column(arr, "map")
+    assert decode_column(blob, meta).equals(arr)
+    vals = [[("a", 1)] if i % 4 else None for i in range(100)]
+    arr2 = pa.array(vals, t)
+    blob2, meta2 = encode_column(arr2, "map")
+    assert decode_column(blob2, meta2).equals(arr2)
+
+
+def test_nested_list_of_struct():
+    t = pa.list_(pa.struct([("x", pa.int64()), ("y", pa.string())]))
+    arr = pa.array(
+        [[{"x": i, "y": f"v{i}"} for i in range(k % 4)] for k in range(200)], t
+    )
+    blob, meta = encode_column(arr, "list")
+    assert decode_column(blob, meta).equals(arr)

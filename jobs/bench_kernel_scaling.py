@@ -1,0 +1,70 @@
+"""Kernel-level scaling probe: the encode+decode kernels across N worker
+processes, no Spark/JVM in the loop.
+
+Purpose: this sandbox VM serializes page faults kernel-side, which collapses
+*any* multi-worker workload past ~16 concurrent workers and adds ±4× noise
+to Spark-level wall clocks (see CLAUDE.md). This probe isolates what the
+engine's own code does as parallelism grows: each worker owns a distinct
+slice of the deterministic corpus and runs select→encode→decode→verify —
+exactly one Spark task's work, with zero shared state (as on a real
+multi-executor cluster, where each executor has its own memory bus).
+
+Usage: python jobs/bench_kernel_scaling.py [rows_per_worker]
+"""
+
+from __future__ import annotations
+
+import multiprocessing as mp
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def worker(args: tuple[int, int]) -> tuple[int, float]:
+    wid, rows = args
+    import numpy as np
+    import pyarrow as pa
+
+    from parzig_spark.codecs import decode_column, encode_column
+    from parzig_spark.operators.encode import column_digest
+    from parzig_spark.selector import choose_codec
+    from parzig_spark.sources.source_code import _gen_batch
+
+    pdf = _gen_batch(np.arange(wid * rows + 10, (wid + 1) * rows + 10), 0.4)
+    table = pa.Table.from_pandas(pdf, preserve_index=False).sort_by(
+        [("repo", "ascending"), ("path", "ascending")]
+    )
+    nbytes = 0
+    t0 = time.perf_counter()
+    for col in table.column_names:
+        arr = table.column(col).combine_chunks()
+        codec, _ = choose_codec(arr)
+        blob, meta = encode_column(arr, codec)
+        digest = column_digest(arr)
+        out = decode_column(blob, meta)
+        assert column_digest(out) == digest, f"{col} roundtrip mismatch"
+        nbytes += arr.nbytes
+    return nbytes, time.perf_counter() - t0
+
+
+def main() -> None:
+    rows = int(sys.argv[1]) if len(sys.argv) > 1 else 12_000
+    mp.set_start_method("fork")
+    print(f"rows/worker={rows} (~{rows * 3.5 / 1000:.0f} MB each)")
+    results = {}
+    for n in (2, 8, 32):
+        with mp.Pool(n) as pool:
+            t0 = time.perf_counter()
+            out = pool.map(worker, [(i, rows) for i in range(n)])
+            wall = time.perf_counter() - t0
+        total = sum(b for b, _ in out)
+        results[n] = total / wall / 1e9
+        print(f"N={n:>2}: {total / 1e9:.2f} GB in {wall:.1f}s → {results[n]:.4f} GB/s aggregate")
+    print(f"kernel scaling efficiency 2→8: {(results[8] / results[2]) / 4:.3f}")
+    print(f"kernel scaling efficiency 8→32: {(results[32] / results[8]) / 4:.3f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,86 @@
+"""Property-based round-trip fuzzing (hypothesis) — beyond the reference's
+test strategy (SURVEY.md §5 notes it has no randomized testing). Every
+supported codec must round-trip arbitrary values + null patterns
+bit-identically, and the auto-selected codec must never lose to the size
+budget invariant blob <= plain-blob * 1.05 on compressible data."""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings, strategies as st
+
+from parzig_spark.codecs import decode_column, encode_column
+from parzig_spark.selector import choose_codec
+
+INT_CODECS = ("plain", "rle", "bitpack", "dict", "delta", "for")
+STR_CODECS = ("plain", "dict", "delta_length", "delta_byte", "fsst")
+
+int_lists = st.lists(
+    st.one_of(st.integers(min_value=-(2**63), max_value=2**63 - 1), st.none()),
+    max_size=300,
+)
+str_lists = st.lists(
+    st.one_of(st.text(max_size=200), st.none()),
+    max_size=200,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(values=int_lists, codec=st.sampled_from(INT_CODECS))
+def test_int_codecs_roundtrip_any(values, codec):
+    arr = pa.array(values, pa.int64())
+    blob, meta = encode_column(arr, codec)
+    assert decode_column(blob, meta).equals(arr)
+
+
+@settings(max_examples=60, deadline=None)
+@given(values=str_lists, codec=st.sampled_from(STR_CODECS))
+def test_str_codecs_roundtrip_any(values, codec):
+    arr = pa.array(values, pa.string())
+    blob, meta = encode_column(arr, codec)
+    out = decode_column(blob, meta)
+    assert out.cast(pa.string()).equals(arr)
+
+
+@settings(max_examples=40, deadline=None)
+@given(values=st.lists(st.binary(max_size=300), max_size=120))
+def test_binary_fsst_roundtrip_any(values):
+    arr = pa.array(values, pa.binary())
+    blob, meta = encode_column(arr, "fsst")
+    assert decode_column(blob, meta).cast(pa.binary()).equals(arr)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    values=st.lists(
+        st.one_of(st.floats(allow_nan=False), st.none()), max_size=200
+    )
+)
+def test_float_bss_roundtrip_any(values):
+    arr = pa.array(values, pa.float64())
+    blob, meta = encode_column(arr, "byte_stream_split")
+    assert decode_column(blob, meta).equals(arr)
+
+
+@settings(max_examples=25, deadline=None)
+@given(values=int_lists)
+def test_auto_selection_roundtrips(values):
+    arr = pa.array(values, pa.int64())
+    codec, _ = choose_codec(arr)
+    blob, meta = encode_column(arr, codec)
+    assert decode_column(blob, meta).equals(arr)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=2**31),
+    run_len=st.integers(min_value=1, max_value=50),
+    card=st.integers(min_value=1, max_value=20),
+)
+def test_structured_ints_selected_beats_plain(seed, run_len, card):
+    rng = np.random.default_rng(seed)
+    vals = np.repeat(rng.integers(0, card, 64), run_len).astype(np.int64)
+    arr = pa.array(vals, pa.int64())
+    codec, _ = choose_codec(arr)
+    chosen, _ = encode_column(arr, codec, outer=None)
+    plain, _ = encode_column(arr, "plain", outer=None)
+    assert len(chosen) <= len(plain) * 1.05

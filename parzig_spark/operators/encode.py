@@ -53,6 +53,15 @@ def column_digest(arr: pa.Array) -> str:
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         h.update(arr.value_lengths().to_numpy(zero_copy_only=False).astype("<i8").tobytes())
         h.update(column_digest(arr.flatten()).encode())
+    elif pa.types.is_map(t):
+        offsets = np.asarray(arr.offsets.to_numpy(zero_copy_only=False)).astype("<i8")
+        h.update(offsets.tobytes())
+        h.update(column_digest(arr.keys).encode())
+        h.update(column_digest(arr.items).encode())
+    elif pa.types.is_struct(t):
+        for i in range(t.num_fields):
+            h.update(t.field(i).name.encode())
+            h.update(column_digest(arr.field(i)).encode())
     else:
         token = dtypes.dtype_token(t)
         if dtypes.is_string_like(token):
@@ -139,6 +148,16 @@ def encode_table(
             c for c, t in df.dtypes if not t.startswith(("array", "map", "struct"))
         ]
     store = ManifestStore(store_root)
+    store.ensure_config(
+        {
+            "group_cols": group_cols,
+            "salt_cols": salt_cols,
+            "sort_cols": sort_cols,
+            "size_col": size_col,
+            "target_bytes": target_bytes,
+            "columns": list(df.columns),
+        }
+    )
     with_pid, n_buckets = plan_partitions(df, group_cols, salt_cols, target_bytes, size_col)
 
     if resume:

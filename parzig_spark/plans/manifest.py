@@ -57,6 +57,28 @@ class ManifestStore:
         for d in (self.manifest_dir, self.blob_dir, self.marker_dir):
             os.makedirs(d, exist_ok=True)
 
+    # -- store config (partitioning identity) --------------------------------
+    def ensure_config(self, config: dict) -> None:
+        """First writer pins the store's partitioning identity; later runs
+        must match or fail loudly. pid derivation is a pure data function of
+        (group_cols, salt_cols, target_bytes, columns) — resuming with
+        different parameters would interleave incompatible partitionings in
+        one store and decode duplicated rows."""
+        path = os.path.join(self.root, "store_config.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                existing = json.load(f)
+            if existing != config:
+                raise ValueError(
+                    f"store {self.root} was encoded with {existing}; "
+                    f"refusing to resume with {config} (pids would not match)"
+                )
+            return
+        tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(config, f, sort_keys=True)
+        os.replace(tmp, path)
+
     # -- commit protocol ----------------------------------------------------
     def _marker_path(self, pid: int) -> str:
         return os.path.join(self.marker_dir, f"_committed_{pid}")

@@ -127,3 +127,17 @@ def test_source_table_deterministic(spark):
     # edge rows present
     edge = {r["content"] for r in a.filter(F.length("content") <= 1).collect()}
     assert "" in edge and "x" in edge
+
+
+def test_store_config_guard(spark, corpus, tmp_path):
+    root = str(tmp_path / "store")
+    _encode(spark, corpus, root)
+    with pytest.raises(Exception, match="refusing to resume"):
+        encode_table(
+            corpus,
+            root,
+            group_cols=["lang"],  # different partitioning identity
+            salt_cols=["path"],
+            size_col="content",
+            target_bytes=256 << 10,
+        ).count()

@@ -27,7 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    bench_rows = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "40000"))
+    bench_rows = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "120000"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
 
     from pyspark.sql import functions as F

@@ -83,11 +83,14 @@ def minhash_lsh_candidates(
     bands: int = 16,
     shingle_k: int = 5,
     seed: int = 42,
+    max_bucket: int = 256,
 ) -> DataFrame:
     """Candidate near-dup pairs: band the signature, self-join on band hash.
 
-    Shuffles on (band, band_hash) — co-located, no all-pairs. Returns
-    (key_a, key_b, n_shared_bands) with key_a < key_b.
+    Shuffles on (band, band_hash) — co-located, no all-pairs; per-bucket
+    membership capped at ``max_bucket`` so pathological duplicate clusters
+    stay O(k·max_bucket), not O(k²). Returns (key_a, key_b, n_shared_bands)
+    with key_a < key_b.
     """
     sigs = minhash_signatures(df, text_col, key_col, n_hashes, shingle_k, seed)
     rows_per_band = n_hashes // bands
@@ -103,6 +106,16 @@ def minhash_lsh_candidates(
                 ]
             )
         ).alias("band", "band_hash"),
+    )
+    # Scale guard: a bucket of k near-identical docs yields k^2 pairs. Cap
+    # bucket size — giant exact-dup clusters are exact-dedup's job (hash
+    # groupBy, linear), LSH is for the near-dup tail. The window ranks
+    # within (band, bucket) so the cap keeps a deterministic subset.
+    w = Window.partitionBy("band", "band_hash").orderBy(F.col(key_col))
+    banded = (
+        banded.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_bucket)
+        .drop("_rn")
     )
     left = banded.alias("l")
     right = banded.alias("r")

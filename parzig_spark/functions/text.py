@@ -8,6 +8,7 @@ model runs as an Arrow-vectorized pandas UDF.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 
 import numpy as np
@@ -96,7 +97,7 @@ def lang_id(df: DataFrame, text_col: str = "text", key_cols: list[str] | None = 
             for lang, pats in profiles.items():
                 s = np.zeros(len(pdf))
                 for p in pats:
-                    s += texts.str.count(__import__("re").escape(p)).to_numpy(dtype=float)
+                    s += texts.str.count(re.escape(p)).to_numpy(dtype=float)
                 # normalize by doc length so long docs don't always win
                 s = s / np.maximum(texts.str.len().to_numpy(dtype=float), 1.0)
                 better = s > best_score

@@ -80,6 +80,7 @@ def plan_partitions(
     target_bytes: int = 64 << 20,
     size_col: str | None = None,
     min_buckets: int | None = None,
+    size_sample_mod: int = 1,
 ) -> DataFrame:
     """Attach a deterministic, skew-defused partition id column ``pid``.
 
@@ -97,22 +98,49 @@ def plan_partitions(
     """
     spark = df.sparkSession
     size_expr = F.octet_length(F.col(size_col)) if size_col else F.lit(256)
+    # Optional sized-sample planning (size_sample_mod > 1): at 10^12 files a
+    # full scan just to plan partitions is wasteful — a deterministic 1-in-k
+    # hash sample estimates group sizes to a few percent. Hash-based (not
+    # df.sample) and salted with a distinct constant so the estimate — and
+    # therefore every pid — is a pure data function, identical on any
+    # cluster size or partitioning (resume invariant), and uncorrelated
+    # with the salt expression. Default is exact (the sizing scan is
+    # column-pruned; cheap next to the encode itself).
+    if size_sample_mod > 1:
+        sampled = df.filter(
+            F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols], F.lit(0x5A17)), F.lit(size_sample_mod)) == 0
+        )
+    else:
+        sampled = df
+    sample_mod = size_sample_mod
     sizes = (
-        df.groupBy(*group_cols)
-        .agg(F.sum(size_expr).alias("_grp_bytes"))
+        sampled.groupBy(*group_cols)
+        .agg((F.sum(size_expr) * sample_mod).alias("_grp_bytes"))
         .withColumn(
             "_nsalt",
             F.greatest(F.lit(1), F.ceil(F.col("_grp_bytes") / F.lit(target_bytes))).cast("int"),
         )
     )
-    total_bytes = sizes.agg(F.sum("_grp_bytes")).collect()[0][0] or 0
+    # One sizing scan total: collect the per-group salt table (bounded by
+    # #groups — for truly unbounded group counts, swap for sizes.persist()
+    # and a distributed join) and re-broadcast it as a LocalRelation so the
+    # encode job never recomputes the aggregation.
+    size_rows = sizes.collect()
+    total_bytes = sum(r["_grp_bytes"] or 0 for r in size_rows)
     # n_buckets is a *data* property (bytes/target), never a cluster
     # property: partition ids must be identical across cluster sizes or a
     # resume on a different cluster re-encodes everything.
     if min_buckets is None:
         min_buckets = 1
     n_buckets = max(min_buckets, -(-int(total_bytes) // target_bytes))
-    out = df.join(F.broadcast(sizes.drop("_grp_bytes")), on=group_cols, how="left")
+    if size_rows:
+        nsalt_df = spark.createDataFrame(
+            [tuple(r[c] for c in group_cols) + (r["_nsalt"],) for r in size_rows],
+            df.select(*group_cols).schema.add("_nsalt", "integer"),
+        )
+    else:
+        nsalt_df = spark.createDataFrame([], df.select(*group_cols).schema.add("_nsalt", "integer"))
+    out = df.join(F.broadcast(nsalt_df), on=group_cols, how="left")
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.coalesce(F.col("_nsalt"), F.lit(1)))
     pid = F.pmod(
         F.xxhash64(*[F.col(c) for c in group_cols], salt.cast("long")), F.lit(n_buckets)

@@ -33,6 +33,85 @@ from parzig_spark.operators import decode_table, encode_table, verify_roundtrip
 STOPWORD_SQL = ",".join(f"'{s}'" for s in tx.STOPWORDS)
 
 
+def _sql_elit(s: str) -> str:
+    """DuckDB E'' escape-string literal for patterns with \\n, \\t, quotes."""
+    out = (
+        s.replace("\\", "\\\\").replace("'", "''").replace("\n", "\\n").replace("\t", "\\t")
+    )
+    return f"E'{out}'"
+
+
+# hex prefixes of parzig_spark.functions.multimodal._MAGIC, same order
+_MAGIC_HEX = [
+    ("89504E47", "png"),
+    ("FFD8FF", "jpeg"),
+    ("47494638", "gif"),
+    ("52494646", "riff"),
+    ("664C6143", "flac"),
+    ("1A45DFA3", "matroska"),
+]
+
+
+def _multimodal_features_sql() -> str:
+    """Exact SQL twin of mm.feature_scalars: magic sniff + high-nibble
+    byte-histogram counts via the hex() projection of the blob."""
+    fmt_cases = "\n                 ".join(
+        f"WHEN substring(hx, 1, {len(h)}) = '{h}' THEN '{name}'" for h, name in _MAGIC_HEX
+    )
+    hist = ",\n               ".join(
+        f"length(hi) - length(replace(hi, '{d}', '')) AS h{i}"
+        for i, d in enumerate("0123456789ABCDEF")
+    )
+    return f"""
+        WITH b AS (
+          SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+                 hex(encode(text)) AS hx,
+                 regexp_replace(hex(encode(text)), '(.).', '\\1', 'g') AS hi
+          FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN n_bytes = 0 THEN 'empty'
+                 {fmt_cases}
+                 ELSE 'unknown' END AS format,
+               n_bytes,
+               {hist}
+        FROM b ORDER BY doc_id
+    """
+
+
+def _lang_id_sql() -> str:
+    """Exact SQL twin of tx.lang_id: literal pattern counts normalized by
+    length, argmax with first-language-wins tie semantics (all arithmetic
+    is exact-integer-in-double, so Spark and DuckDB agree bit-for-bit)."""
+    langs = list(tx._LANG_PROFILES)
+    score_exprs = []
+    for lang, pats in tx._LANG_PROFILES.items():
+        terms = [
+            f"(length(lo) - length(replace(lo, {_sql_elit(p.lower())}, ''))) / {len(p)}"
+            for p in pats
+        ]
+        score_exprs.append(f"({' + '.join(terms)}) / ln AS s_{lang}")
+    gl = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    cases = "\n                 ".join(f"WHEN s_{lang} >= {gl} THEN '{lang}'" for lang in langs)
+    scores = ",\n                 ".join(score_exprs)
+    return f"""
+        WITH t AS (
+          SELECT doc_id, lower(text) AS lo,
+                 greatest(length(lower(text)), 1) * 1.0 AS ln
+          FROM documents
+        ), sc AS (
+          SELECT doc_id,
+                 {scores}
+          FROM t
+        )
+        SELECT doc_id,
+               CASE WHEN {gl} <= 0 THEN 'unknown'
+                 {cases}
+                 ELSE 'unknown' END AS lang_pred
+        FROM sc ORDER BY doc_id
+    """
+
+
 def _roundtrip(spark: SparkSession, sf_dir: str, table: str, group_cols, salt_cols, size_col=None) -> DataFrame:
     """Encode a testdata table into a fresh store, decode it back."""
     src = spark.read.parquet(f"{sf_dir}/{table}.parquet")
@@ -167,13 +246,20 @@ def q_join_segment_revenue(spark, sf_dir):
 
 
 def q_dedup_exact(spark, sf_dir):
+    # n_rows must be the PRE-dedup group size (the oracle's semantics):
+    # group sizes come from fingerprinting all documents, the keeper from
+    # the dedup operator itself — so corpora with real duplicates (sf0.1
+    # has 8) agree with the oracle instead of collapsing every group to 1.
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    kept = ded.dedup_exact(docs, "text", "doc_id")
-    return (
-        kept.groupBy("fp")
-        .agg(F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n_rows"))
-        .orderBy("fp")
+    kept = ded.dedup_exact(docs, "text", "doc_id").select(
+        "fp", F.col("doc_id").alias("keeper")
     )
+    sizes = (
+        tx.fingerprint(docs, "text", ["doc_id"])
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    return kept.join(sizes, "fp").select("fp", "keeper", "n_rows").orderBy("fp")
 
 
 def q_doc_fingerprints(spark, sf_dir):
@@ -241,9 +327,13 @@ def q_multimodal_metadata(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
+    # All-scalar output (format, n_bytes, 16 histogram counts) so the row
+    # set is canonicalizable — array<float> columns crash the driver's
+    # sort-based canonicalizer. The histogram math has an exact hex-nibble
+    # DuckDB oracle.
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     as_bin = docs.select("doc_id", F.encode("text", "utf-8").alias("data"))
-    return mm.extract_features(as_bin, "data", ["doc_id"], fake=True)
+    return mm.feature_scalars(as_bin, "data", ["doc_id"]).orderBy("doc_id")
 
 
 def q_roundtrip_embeddings(spark, sf_dir):
@@ -418,6 +508,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE vec_id != 0
             ORDER BY cosine DESC, vec_id LIMIT 20
         """,
+        "multimodal_features": _multimodal_features_sql(),
+        "lang_id": _lang_id_sql(),
         "multimodal_metadata": """
             SELECT doc_id,
                    octet_length(encode(text)) AS n_bytes,

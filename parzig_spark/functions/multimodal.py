@@ -97,3 +97,42 @@ def extract_features(
     return df.select(*cols).mapInPandas(
         feats, schema=f"{key_schema}, format string, feature array<float>"
     )
+
+
+def feature_scalars(
+    df: DataFrame,
+    bin_col: str = "data",
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Canonicalizable (all-scalar) variant of the fake feature extractor.
+
+    Emits format, n_bytes and the 16 high-nibble byte-histogram COUNTS as
+    integer columns h0..h15 (exactly the un-normalized ``decode_media`` fake
+    feature) — hashable row sets with an exact DuckDB oracle, unlike the
+    array<float> output of :func:`extract_features`.
+    """
+    key_cols = key_cols or [df.columns[0]]
+    cols = list(key_cols) + [bin_col]
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[key_cols].copy()
+            fmts, nbytes = [], []
+            hists = np.zeros((len(pdf), 16), dtype=np.int64)
+            for i, b in enumerate(pdf[bin_col]):
+                fmts.append(sniff_format(b))
+                arr = np.frombuffer(b or b"", dtype=np.uint8)
+                nbytes.append(len(arr))
+                if len(arr):
+                    hists[i] = np.bincount(arr >> 4, minlength=16)
+            out["format"] = fmts
+            out["n_bytes"] = np.asarray(nbytes, dtype=np.int64)
+            for j in range(16):
+                out[f"h{j}"] = hists[:, j]
+            yield out
+
+    key_schema = ", ".join(f"{c} {dict(df.dtypes)[c]}" for c in key_cols)
+    h_schema = ", ".join(f"h{j} long" for j in range(16))
+    return df.select(*cols).mapInPandas(
+        feats, schema=f"{key_schema}, format string, n_bytes long, {h_schema}"
+    )

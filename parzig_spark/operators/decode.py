@@ -19,15 +19,26 @@ from pyspark.sql import functions as F
 from ..codecs import decode_column
 from ..plans.manifest import ManifestStore
 
+# Every token the encoder accepts maps to a Spark type (SURVEY §1.2
+# widenings, mirroring the reference's logical reinterpretations at
+# /root/reference/src/parquet/logical.zig:138-228: unsigned widens to the
+# next signed type, uint64 to decimal(20,0), times to their integer lane).
 _TOKEN_TO_SPARK = {
     "bool": "boolean",
     "int8": "tinyint",
     "int16": "smallint",
     "int32": "int",
     "int64": "long",
+    "uint8": "smallint",
+    "uint16": "int",
+    "uint32": "long",
+    "uint64": "decimal(20,0)",
     "float32": "float",
     "float64": "double",
     "date32": "date",
+    "date64": "date",
+    "time32[ms]": "int",
+    "time64[us]": "long",
     "timestamp[us]": "timestamp",
     "timestamp[ns]": "timestamp",
     "timestamp[ms]": "timestamp",
@@ -36,6 +47,24 @@ _TOKEN_TO_SPARK = {
     "large_string": "string",
     "binary": "binary",
     "large_binary": "binary",
+}
+
+# Arrow-side cast applied after decode so the batch type matches the
+# declared Spark DDL exactly (Spark timestamps are microseconds; a store
+# encoded from s/ms/ns units would otherwise yield mismatched Arrow types).
+# ns→us truncates — Spark cannot represent nanoseconds; the codec-level
+# round-trip (decode_column) stays bit-exact in the stored unit.
+_TOKEN_CAST = {
+    "uint8": pa.int16(),
+    "uint16": pa.int32(),
+    "uint32": pa.int64(),
+    "uint64": pa.decimal128(20, 0),
+    "date64": pa.date32(),
+    "time32[ms]": pa.int32(),
+    "time64[us]": pa.int64(),
+    "timestamp[s]": pa.timestamp("us"),
+    "timestamp[ms]": pa.timestamp("us"),
+    "timestamp[ns]": pa.timestamp("us"),
 }
 
 
@@ -54,13 +83,17 @@ def _spark_type(meta: dict) -> str:
     return _TOKEN_TO_SPARK[codec_meta["dtype"]]
 
 
-def decoded_schema(store: ManifestStore, columns: list[str] | None = None) -> tuple[list[str], str]:
-    """(column order, Spark DDL schema) from any committed manifest."""
-    table = store.read_manifests()
-    if table.num_rows == 0:
+def decoded_schema(
+    store: ManifestStore, columns: list[str] | None = None
+) -> tuple[list[str], str, dict[str, pa.DataType]]:
+    """(column order, Spark DDL schema, post-decode Arrow casts) — read from
+    ONE committed partition's manifest file (O(1) driver I/O, never the full
+    manifest set)."""
+    table = store.read_one_manifest()
+    if table is None or table.num_rows == 0:
         raise ValueError(f"no committed partitions in {store.root}")
     first_pid = table.column("pid")[0].as_py()
-    cols, ddl = [], []
+    cols, ddl, casts = [], [], {}
     for row in table.filter(pa.compute.equal(table.column("pid"), first_pid)).to_pylist():
         name = row["column"]
         if columns is not None and name not in columns:
@@ -68,35 +101,85 @@ def decoded_schema(store: ManifestStore, columns: list[str] | None = None) -> tu
         meta = json.loads(row["meta_json"])
         cols.append(name)
         ddl.append(f"{name} {_spark_type(meta)}")
+        token = meta.get("codec_meta", {}).get("dtype") if meta.get("codec") not in ("list", "map", "struct") else None
+        if token is not None and token in _TOKEN_CAST:
+            casts[name] = _TOKEN_CAST[token]
     if columns is not None:
         order = {c: i for i, c in enumerate(columns)}
         pairs = sorted(zip(cols, ddl), key=lambda p: order[p[0]])
         cols = [p[0] for p in pairs]
         ddl = [p[1] for p in pairs]
-    return cols, ", ".join(ddl)
+    return cols, ", ".join(ddl), casts
+
+
+def _exclusion_condition(op: str, val) -> "F.Column":
+    """Manifest-stats condition under which a pid CANNOT satisfy `op val`."""
+    numeric = isinstance(val, (int, float)) and not isinstance(val, bool)
+    lo = F.col("stat_min").cast("double") if numeric else F.col("stat_min")
+    hi = F.col("stat_max").cast("double") if numeric else F.col("stat_max")
+    v = F.lit(val)
+    if op == ">=":
+        return hi < v
+    if op == ">":
+        return hi <= v
+    if op == "<=":
+        return lo > v
+    if op == "<":
+        return lo >= v
+    if op in ("==", "="):
+        return (hi < v) | (lo > v)
+    raise ValueError(f"unsupported predicate op: {op}")
+
+
+def prune_manifests(manifests: DataFrame, predicates) -> DataFrame:
+    """Drop whole partitions whose recorded [stat_min, stat_max] ranges
+    cannot satisfy the predicates — the decode-side analog of Parquet
+    row-group statistics skipping (the reference parses Statistics/
+    ColumnIndex but never uses them; SURVEY §4 scopes this as ours).
+
+    Partition-granular: surviving partitions are decoded WHOLE, so callers
+    still apply the row-level filter afterwards. Missing stats keep the
+    partition (never unsound)."""
+    for col_name, op, val in predicates:
+        excluded = manifests.filter(
+            (F.col("column") == col_name)
+            & F.col("stat_min").isNotNull()
+            & _exclusion_condition(op, val)
+        ).select("pid")
+        manifests = manifests.join(excluded, "pid", "left_anti")
+    return manifests
 
 
 def decode_table(
     spark: SparkSession,
     store_root: str,
     columns: list[str] | None = None,
+    predicates: list[tuple] | None = None,
 ) -> DataFrame:
-    """Decode all committed partitions; returns the reconstructed DataFrame."""
+    """Decode committed partitions; returns the reconstructed DataFrame.
+
+    Manifests travel Spark-side end to end: the driver reads ONE manifest
+    file for the schema, then `spark.read.parquet` on the compacted
+    snapshot (written here if stale — one driver-side compaction, amortized
+    across decodes) distributes the manifest rows. No O(partitions) driver
+    loop on the decode path.
+
+    ``predicates`` (e.g. ``[("o_orderkey", ">=", 1000)]``) prune whole
+    partitions via manifest min/max stats before any blob is opened;
+    callers still apply the row-level filter on the result.
+    """
     store = ManifestStore(store_root)
-    cols, ddl = decoded_schema(store, columns)
-    # Manifest rows are tiny (the blobs live in separate files); read them
-    # driver-side with pyarrow and parallelize — spark.read over thousands
-    # of KB-sized parquet files pays per-file scan setup that dwarfs the
-    # actual decode (observed 100s+ at 700 files).
-    mtable = store.read_manifests()
-    if mtable.num_rows == 0:
-        raise ValueError(f"no committed partitions in {store_root}")
-    manifests = spark.createDataFrame(mtable.to_pandas())
+    cols, ddl, casts = decoded_schema(store, columns)
+    snap = store.fresh_snapshot()
+    manifests = spark.read.parquet(snap).select(
+        "pid", "column", "meta_json", "stat_min", "stat_max"
+    )
     if columns is not None:
         manifests = manifests.filter(F.col("column").isin(columns))
-    n_pids = mtable.column("pid").to_pandas().nunique()
-    manifests = manifests.repartition(
-        max(1, min(n_pids, spark.sparkContext.defaultParallelism * 2)), "pid"
+    if predicates:
+        manifests = prune_manifests(manifests, predicates)
+    manifests = manifests.drop("stat_min", "stat_max").repartition(
+        spark.sparkContext.defaultParallelism * 2, "pid"
     )
 
     def decode_partition(batches):
@@ -115,7 +198,11 @@ def decode_table(
             for name in cols:
                 meta = json.loads(by_col[name]["meta_json"])
                 blob = local.read_blob(pid, name)
-                arrays.append(decode_column(blob, meta))
+                arr = decode_column(blob, meta)
+                cast_to = casts.get(name)
+                if cast_to is not None:
+                    arr = arr.cast(cast_to, safe=False)
+                arrays.append(arr)
             table = pa.table(dict(zip(cols, arrays)))
             yield from table.to_batches(max_chunksize=8192)
 

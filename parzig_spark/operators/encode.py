@@ -54,8 +54,11 @@ def column_digest(arr: pa.Array) -> str:
         h.update(arr.value_lengths().to_numpy(zero_copy_only=False).astype("<i8").tobytes())
         h.update(column_digest(arr.flatten()).encode())
     elif pa.types.is_map(t):
+        # Hash per-entry lengths (np.diff of offsets), not raw offsets — a
+        # sliced-but-logically-equal map array must digest identically to its
+        # decoded (rebased-offset) twin, mirroring the list branch.
         offsets = np.asarray(arr.offsets.to_numpy(zero_copy_only=False)).astype("<i8")
-        h.update(offsets.tobytes())
+        h.update(np.diff(offsets).tobytes())
         h.update(column_digest(arr.keys).encode())
         h.update(column_digest(arr.items).encode())
     elif pa.types.is_struct(t):
@@ -73,6 +76,28 @@ def column_digest(arr: pa.Array) -> str:
     return h.hexdigest()
 
 
+def column_minmax(arr: pa.Array) -> tuple[str | None, str | None]:
+    """Canonical-string min/max for orderable scalar types (pruning stats).
+
+    Numerics parse back as double; date/timestamp ISO strings order
+    lexicographically. Strings/binary/nested are skipped (a truncated max
+    is not a valid upper bound, and full content bounds would bloat
+    manifests)."""
+    t = arr.type
+    orderable = (
+        pa.types.is_integer(t)
+        or pa.types.is_floating(t)
+        or pa.types.is_date(t)
+        or pa.types.is_timestamp(t)
+        or pa.types.is_time(t)
+        or pa.types.is_decimal(t)
+    )
+    if not orderable or len(arr) == arr.null_count:
+        return None, None
+    mm = pa.compute.min_max(arr)
+    return str(mm["min"].as_py()), str(mm["max"].as_py())
+
+
 def plan_partitions(
     df: DataFrame,
     group_cols: list[str],
@@ -81,7 +106,9 @@ def plan_partitions(
     size_col: str | None = None,
     min_buckets: int | None = None,
     size_sample_mod: int = 1,
-) -> DataFrame:
+    pid_namespace: int | None = None,
+    broadcast_group_limit: int = 65536,
+) -> tuple[DataFrame, int]:
     """Attach a deterministic, skew-defused partition id column ``pid``.
 
     Two-sided balancing in one sizing pass (column-pruned aggregation, all
@@ -95,6 +122,18 @@ def plan_partitions(
       thousands of small groups pack into byte-bounded partitions instead of
       paying per-partition encode/manifest overhead each (at 10^12 files the
       group count is ~repos×langs — far above any sane partition count).
+
+    ``pid_namespace`` folds a caller-supplied dataset fingerprint into the
+    high pid bits (39-bit namespace ``<<`` 24-bit bucket) so independent
+    datasets encoded into one store (streaming micro-batches) can never
+    collide on pid: without it, a later batch whose buckets alias committed
+    pids would be silently anti-joined away on resume.
+
+    Scale path: group sizing stays fully distributed. Only when the group
+    count is at most ``broadcast_group_limit`` is the salt table collected
+    into a broadcast LocalRelation (saves recomputing the aggregation);
+    above it the salt table is persisted and joined distributed — no
+    unbounded ``collect()`` on the driver.
     """
     spark = df.sparkSession
     size_expr = F.octet_length(F.col(size_col)) if size_col else F.lit(256)
@@ -121,30 +160,48 @@ def plan_partitions(
             F.greatest(F.lit(1), F.ceil(F.col("_grp_bytes") / F.lit(target_bytes))).cast("int"),
         )
     )
-    # One sizing scan total: collect the per-group salt table (bounded by
-    # #groups — for truly unbounded group counts, swap for sizes.persist()
-    # and a distributed join) and re-broadcast it as a LocalRelation so the
-    # encode job never recomputes the aggregation.
-    size_rows = sizes.collect()
-    total_bytes = sum(r["_grp_bytes"] or 0 for r in size_rows)
+    # One sizing scan, ONE Spark action in the common path: collect at most
+    # limit+1 rows of the per-group table. Getting ≤ limit rows proves we
+    # hold the complete group set (totals computed driver-side); limit+1
+    # rows means the group count is unbounded → switch to the fully
+    # distributed path (persisted salt table + executor-side join + 1-row
+    # totals action) so the driver never materializes millions of groups.
+    sizes = sizes.persist()  # both paths reuse the one sizing scan
+    size_rows = sizes.limit(broadcast_group_limit + 1).collect()
+    distributed = len(size_rows) > broadcast_group_limit
+    if distributed:
+        totals = sizes.agg(F.sum("_grp_bytes").alias("_total")).first()
+        total_bytes = int(totals["_total"] or 0)
+    else:
+        total_bytes = sum(r["_grp_bytes"] or 0 for r in size_rows)
+        sizes.unpersist()
     # n_buckets is a *data* property (bytes/target), never a cluster
     # property: partition ids must be identical across cluster sizes or a
     # resume on a different cluster re-encodes everything.
     if min_buckets is None:
         min_buckets = 1
     n_buckets = max(min_buckets, -(-int(total_bytes) // target_bytes))
-    if size_rows:
+    if pid_namespace is not None:
+        n_buckets = min(n_buckets, 1 << 24)
+    if distributed:
+        # AQE picks the physical join; the persisted aggregate is reused,
+        # so this still costs one sizing scan total.
+        out = df.join(sizes.select(*group_cols, "_nsalt"), on=group_cols, how="left")
+    else:
         nsalt_df = spark.createDataFrame(
             [tuple(r[c] for c in group_cols) + (r["_nsalt"],) for r in size_rows],
             df.select(*group_cols).schema.add("_nsalt", "integer"),
         )
-    else:
-        nsalt_df = spark.createDataFrame([], df.select(*group_cols).schema.add("_nsalt", "integer"))
-    out = df.join(F.broadcast(nsalt_df), on=group_cols, how="left")
+        out = df.join(F.broadcast(nsalt_df), on=group_cols, how="left")
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.coalesce(F.col("_nsalt"), F.lit(1)))
-    pid = F.pmod(
+    bucket = F.pmod(
         F.xxhash64(*[F.col(c) for c in group_cols], salt.cast("long")), F.lit(n_buckets)
     )
+    if pid_namespace is not None:
+        ns_base = (pid_namespace & ((1 << 39) - 1)) << 24
+        pid = (F.lit(ns_base).cast("long") + bucket).alias("pid")
+    else:
+        pid = bucket
     return out.withColumn("pid", pid).drop("_nsalt"), n_buckets
 
 
@@ -159,6 +216,8 @@ def encode_table(
     num_partitions: int | None = None,
     resume: bool = True,
     outer: str | None = "auto",
+    pid_namespace: int | None = None,
+    plan_sample_rows: int = 8192,
 ) -> DataFrame:
     """Encode ``df`` into ``store_root``; returns the per-column summary.
 
@@ -166,6 +225,14 @@ def encode_table(
     encode. With ``resume=True``, partitions whose commit marker already
     exists are anti-joined away before any data is read (checkpoint/resume
     per the north rule).
+
+    ``plan_sample_rows > 0`` chooses each column's codec ONCE on the driver
+    from a small sample (column stats are stable across buckets of one
+    table), instead of trial-encoding 2–4 candidates in every bucket — the
+    per-bucket selector was 2× trial encodes × candidates × columns ×
+    buckets of pure overhead. Codec choice never feeds pid derivation, so
+    this cannot affect resume identity; within one job all task attempts
+    share the driver's plan, keeping retried blobs byte-identical.
     """
     spark = df.sparkSession
     salt_cols = salt_cols or [c for c in df.columns if c not in group_cols][:1]
@@ -186,7 +253,27 @@ def encode_table(
             "columns": list(df.columns),
         }
     )
-    with_pid, n_buckets = plan_partitions(df, group_cols, salt_cols, target_bytes, size_col)
+    with_pid, n_buckets = plan_partitions(
+        df, group_cols, salt_cols, target_bytes, size_col, pid_namespace=pid_namespace
+    )
+
+    codec_plan: dict[str, str] = {}
+    plan_lineage: dict[str, str] = {}
+    # Single-bucket tables choose once in-task anyway; the sampling job only
+    # pays for itself when it replaces many per-bucket selector runs.
+    if plan_sample_rows > 0 and n_buckets > 1:
+        sample = df.limit(plan_sample_rows).toArrow()
+        if sample.num_rows:
+            for column in df.columns:
+                try:
+                    codec, lineage = choose_codec(sample.column(column), outer=outer)
+                except (TypeError, ValueError):
+                    continue
+                codec_plan[column] = codec
+                plan_lineage[column] = json.dumps(
+                    {"plan": "table_sample", "sample_rows": sample.num_rows, **lineage},
+                    separators=(",", ":"),
+                )
 
     if resume:
         committed = store.committed_pids()
@@ -239,13 +326,21 @@ def encode_table(
             for column in data_cols:
                 arr = table.column(column).combine_chunks()
                 t0 = time.perf_counter()
-                codec, lineage = choose_codec(arr, outer=outer)
+                planned = codec_plan.get(column)
+                if planned is not None:
+                    codec, lineage_json = planned, plan_lineage[column]
+                else:
+                    codec, lineage = choose_codec(arr, outer=outer)
+                    lineage_json = json.dumps(lineage, separators=(",", ":"))
                 blob, meta = encode_column(arr, codec, outer=outer)
                 dt = time.perf_counter() - t0
                 digest = column_digest(arr)
+                smin, smax = column_minmax(arr)
                 blobs[column] = blob
                 rows.append(
                     {
+                        "stat_min": smin,
+                        "stat_max": smax,
                         "pid": pid,
                         "column": column,
                         "codec": codec,
@@ -253,7 +348,7 @@ def encode_table(
                         "raw_bytes": arr.nbytes,
                         "enc_bytes": len(blob),
                         "meta_json": json.dumps(meta, separators=(",", ":")),
-                        "lineage_json": json.dumps(lineage, separators=(",", ":")),
+                        "lineage_json": lineage_json,
                         "sha256": digest,
                         "encode_s": dt,
                         "blob_file": local_store.blob_path(pid, column),

@@ -44,6 +44,12 @@ MANIFEST_SCHEMA = pa.schema(
         ("sha256", pa.string()),  # digest of the decoded column's canonical bytes
         ("encode_s", pa.float64()),
         ("blob_file", pa.string()),
+        # Per-column min/max (canonical strings; numerics parse as double,
+        # temporals are ISO-ordered) — decode-side partition pruning, the
+        # role of Parquet Statistics the reference parses but never uses
+        # (/root/reference/src/generated/parquet.zig:55-76).
+        ("stat_min", pa.string()),
+        ("stat_max", pa.string()),
     ]
 )
 
@@ -159,6 +165,33 @@ class ManifestStore:
         if not tables:
             return MANIFEST_SCHEMA.empty_table()
         return pa.concat_tables(tables)
+
+    def read_one_manifest(self) -> pa.Table | None:
+        """Any single committed partition's manifest (schema discovery) —
+        O(1) driver I/O: first marker found, one parquet file read."""
+        try:
+            with os.scandir(self.marker_dir) as it:
+                for entry in it:
+                    if entry.name.startswith("_committed_"):
+                        pid = int(entry.name.rsplit("_", 1)[1])
+                        return pq.read_table(
+                            os.path.join(self.manifest_dir, f"part-{pid}.parquet")
+                        )
+        except FileNotFoundError:
+            pass
+        return None
+
+    def fresh_snapshot(self) -> str:
+        """Path of a snapshot covering every committed partition; compacts
+        one if the latest is stale or absent. Production flow: the encode
+        job driver calls write_snapshot() once post-commit, so readers hit
+        the O(1) fast path."""
+        snap = self.latest_snapshot()
+        if snap is not None:
+            table = pq.read_table(snap, columns=["pid"])
+            if set(table.column("pid").to_pylist()) >= self.committed_pids():
+                return snap
+        return self.write_snapshot()
 
     def read_manifests(self) -> pa.Table:
         """All committed manifest rows (uncommitted partitions invisible).

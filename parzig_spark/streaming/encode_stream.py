@@ -32,11 +32,25 @@ def encode_stream(
     target_bytes: int = 64 << 20,
     available_now: bool = True,
 ) -> StreamingQuery:
-    """readStream source → incremental encode via foreachBatch."""
+    """readStream source → incremental encode via foreachBatch.
+
+    Cross-batch pid safety: partition ids are namespaced per micro-batch by
+    an order-independent content fingerprint (XOR of per-row xxhash64), so a
+    later batch can never alias a committed pid and be silently anti-joined
+    away — while an identical *replayed* batch (crash recovery) recomputes
+    the same fingerprint and correctly skips its committed partitions.
+    """
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        hash_cols = [
+            c for c, t in batch_df.dtypes if not t.startswith("map")
+        ]  # xxhash64 covers everything testdata-shaped except maps
+        fp_row = batch_df.select(
+            F.bit_xor(F.xxhash64(*[F.col(c) for c in hash_cols])).alias("fp")
+        ).first()
+        batch_fp = int(fp_row["fp"] or 0)
         encode_table(
             batch_df,
             store_root,
@@ -45,6 +59,7 @@ def encode_stream(
             size_col=size_col,
             target_bytes=target_bytes,
             resume=True,  # replayed batches skip committed partitions
+            pid_namespace=batch_fp,
         ).count()
 
     writer = (

@@ -53,6 +53,43 @@ def test_streaming_encode(spark, doc_stream_dir, tmp_path):
     assert report2["ok"] and report2["rows"] == report["rows"]
 
 
+def test_streaming_two_distinct_batches_no_pid_collision(spark, tmp_path):
+    """Two micro-batches with DIFFERENT data must both land in the store.
+
+    Regression: pids used to be derived only from (group, salt) % n_buckets
+    with n_buckets from the current batch's bytes — small batches all got
+    n_buckets=1, so every batch after the first aliased committed pid 0 and
+    was silently dropped by the resume anti-join. pid namespacing by batch
+    content fingerprint fixes it.
+    """
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+    d = tmp_path / "stream_in2"
+    d.mkdir()
+    root = str(tmp_path / "store2")
+    half_a.write.parquet(str(d / "batch-a.parquet"))
+    stream = spark.readStream.schema(docs.schema).parquet(str(d) + "/*")
+    q = encode_stream(
+        stream, root, ["lang", "source"], ["doc_id"],
+        checkpoint_dir=str(tmp_path / "cp_a"), size_col="text",
+    )
+    q.awaitTermination(120)
+    half_b.write.parquet(str(d / "batch-b.parquet"))
+    # Same checkpoint: the source delivers only the NEW file as batch 2
+    # (re-delivery granularity is the checkpoint's job; the namespace
+    # guards replayed-identical batches and pid aliasing of new data).
+    q2 = encode_stream(
+        stream, root, ["lang", "source"], ["doc_id"],
+        checkpoint_dir=str(tmp_path / "cp_a"), size_col="text",
+    )
+    q2.awaitTermination(120)
+    decoded = decode_table(spark, root)
+    report = verify_roundtrip(docs, decoded, ["doc_id"], ["text", "lang"])
+    assert report["ok"], report
+    assert decoded.count() == docs.count()
+
+
 def test_windowed_event_counts_matches_batch(spark, tmp_path):
     d = tmp_path / "events_in"
     d.mkdir()

@@ -353,6 +353,35 @@ def q_roundtrip_embeddings(spark, sf_dir):
     ).orderBy("vec_id")
 
 
+def q_roundtrip_decimal(spark, sf_dir):
+    """DecimalType money column end to end (encode → decode → exact SUM):
+    the reference decodes DECIMAL from INT32/INT64/FIXED
+    (/root/reference/src/parquet/logical.zig:230-265); our engine stores it
+    lossless as two FOR-coded int64 lanes."""
+    src = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.col("l_extendedprice").cast("decimal(15,2)").alias("price_dec"),
+    )
+    root = tempfile.mkdtemp(prefix="parzig_dec_")
+    encode_table(
+        src, root, group_cols=["l_returnflag"], salt_cols=["l_orderkey"],
+        target_bytes=32 << 20, resume=False,
+    ).count()
+    dec = decode_table(spark, root)
+    return (
+        dec.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # exact decimal sum, projected to BIGINT cents (decimal objects
+            # canonicalize differently across pandas bridges)
+            (F.sum("price_dec") * 100).cast("long").alias("sum_price_cents"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def q_window_rank_orders(spark, sf_dir):
     from pyspark.sql import Window
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -422,6 +451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_metadata": q_multimodal_metadata,
         "multimodal_features": q_multimodal_features,
         "roundtrip_embeddings": q_roundtrip_embeddings,
+        "roundtrip_decimal": q_roundtrip_decimal,
         "window_rank_orders": q_window_rank_orders,
         "semi_join_active_customers": q_semi_join_active_customers,
         "topk_orders": q_topk_orders,
@@ -520,6 +550,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, label, len(embedding) AS dim,
                    CAST(floor(list_sum(CAST(embedding AS DOUBLE[])) * 1000) AS BIGINT) AS sum_milli
             FROM embeddings ORDER BY vec_id
+        """,
+        "roundtrip_decimal": """
+            SELECT l_returnflag, count(*) AS n,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2))) * 100 AS BIGINT) AS sum_price_cents
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "window_rank_orders": """
             SELECT o_custkey, rn, o_orderkey FROM (

@@ -167,6 +167,27 @@ def encode_column(
         meta["child_meta"] = child_meta
         meta["sections"] = [len(lens_blob), len(child_blob)]
         return validity_blob + lens_blob + child_blob, meta
+    if pa.types.is_decimal128(arr.type) or codec == "decimal":
+        # DECIMAL: two int64 lanes (lo carries magnitude bits, hi the sign
+        # extension) each FOR-coded — the lossless analog of the reference's
+        # INT32/INT64/FIXED decimal reinterpretation
+        # (/root/reference/src/parquet/rowGroupReader.zig:36-66).
+        n = len(arr)
+        meta = {"codec": "decimal", "n": n, "dtype": dtypes.dtype_token(arr.type)}
+        validity_blob = b""
+        if arr.null_count:
+            valid = ~np.asarray(arr.is_null())
+            validity_blob, _ = encode_u64(valid.astype(np.uint64), width=1)
+            meta["null_count"] = arr.null_count
+            meta["validity_len"] = len(validity_blob)
+            arr = arr.drop_null()
+        lo, hi = dtypes.decimal_lanes(arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr)
+        lo_blob, lo_meta = delta_for.encode(pa.array(lo), mode="for")
+        hi_blob, hi_meta = delta_for.encode(pa.array(hi), mode="for")
+        meta["lo_meta"] = lo_meta
+        meta["hi_meta"] = hi_meta
+        meta["sections"] = [len(lo_blob), len(hi_blob)]
+        return validity_blob + lo_blob + hi_blob, meta
     n = len(arr)
     meta = {"codec": codec, "n": n}
     validity_blob = b""
@@ -176,6 +197,19 @@ def encode_column(
         meta["null_count"] = arr.null_count
         meta["validity_len"] = len(validity_blob)
         arr = arr.drop_null()
+    if pa.types.is_fixed_size_binary(arr.type):
+        # FIXED_LEN_BYTE_ARRAY (widths the reference dispatches at
+        # /root/reference/src/parquet/dynamic.zig:47-55): encode through the
+        # variable-width binary codecs; the constant width lives in meta and
+        # the decoder casts back.
+        meta["fixed"] = arr.type.byte_width
+        arr = arr.cast(pa.binary())
+    if arr.type == pa.float16():
+        # Arrow lacks dictionary/unique kernels for halffloat; all codecs
+        # run on the bit-identical uint16 lane (the reference's FIXED[2]
+        # reinterpretation, /root/reference/src/parquet/logical.zig:216-228).
+        meta["halffloat"] = True
+        arr = arr.view(pa.uint16())
     payload, cmeta = _ENCODERS[codec](arr)
     meta["codec_meta"] = cmeta
     if outer == "auto":
@@ -237,6 +271,16 @@ def decode_column(blob, meta: dict) -> pa.Array:
         idx = np.zeros(n, dtype=np.int64)
         idx[valid] = np.arange(n_valid)
         return values.take(pa.array(idx, type=pa.int64(), mask=~valid))
+    if meta["codec"] == "decimal":
+        s0, _ = meta["sections"]
+        lo = delta_for.decode(mv[:s0], meta["lo_meta"], n_valid).to_numpy(zero_copy_only=False)
+        hi = delta_for.decode(mv[s0:], meta["hi_meta"], n_valid).to_numpy(zero_copy_only=False)
+        values = dtypes.decimal_from_lanes(lo, hi, meta["dtype"])
+        if valid is None:
+            return values
+        idx = np.zeros(n, dtype=np.int64)
+        idx[valid] = np.arange(n_valid)
+        return values.take(pa.array(idx, type=pa.int64(), mask=~valid))
     payload = mv
     if "outer" in meta:
         codec_obj = pa.Codec(meta["outer"]["codec"])
@@ -244,6 +288,10 @@ def decode_column(blob, meta: dict) -> pa.Array:
             codec_obj.decompress(payload, decompressed_size=meta["outer"]["orig"], asbytes=True)
         )
     values = _DECODERS[meta["codec"]](payload, meta["codec_meta"], n_valid)
+    if meta.get("fixed"):
+        values = values.cast(pa.binary(meta["fixed"]))
+    if meta.get("halffloat"):
+        values = values.view(pa.float16())
     if valid is None:
         return values
     # Scatter non-null values back: null-masked take (Arrow-native, no loop),

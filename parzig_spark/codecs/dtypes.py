@@ -38,12 +38,24 @@ _TOKEN_TABLE: dict[str, tuple[pa.DataType, np.dtype | None]] = {
     "large_string": (pa.large_string(), None),
     "binary": (pa.binary(), None),
     "large_binary": (pa.large_binary(), None),
+    # Float16 rides the uint16 physical lane (bit pattern), exactly the
+    # reference's FIXED[2] reinterpretation
+    # (/root/reference/src/parquet/logical.zig:216-228).
+    "halffloat": (pa.float16(), np.dtype("<u2")),
 }
 
 _TYPE_TO_TOKEN = {str(t): tok for tok, (t, _) in _TOKEN_TABLE.items()}
 
 
 def dtype_token(t: pa.DataType) -> str:
+    # Parameterized tokens first: DECIMAL (reference:
+    # /root/reference/src/parquet/logical.zig:230-249 — but lossless here,
+    # 16-byte lanes, never f128) and FIXED_LEN_BYTE_ARRAY widths
+    # (/root/reference/src/parquet/dynamic.zig:47-55).
+    if pa.types.is_decimal128(t):
+        return f"decimal128({t.precision},{t.scale})"
+    if pa.types.is_fixed_size_binary(t):
+        return f"fixed[{t.byte_width}]"
     tok = _TYPE_TO_TOKEN.get(str(t))
     if tok is None:
         raise TypeError(f"unsupported arrow type for encoding: {t}")
@@ -51,7 +63,35 @@ def dtype_token(t: pa.DataType) -> str:
 
 
 def arrow_type(token: str) -> pa.DataType:
+    if token.startswith("decimal128("):
+        p, s = token[len("decimal128(") : -1].split(",")
+        return pa.decimal128(int(p), int(s))
+    if token.startswith("fixed["):
+        return pa.binary(int(token[len("fixed[") : -1]))
     return _TOKEN_TABLE[token][0]
+
+
+def decimal_lanes(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Non-null decimal128 array → (lo, hi) int64 lanes, zero-copy.
+
+    Arrow stores decimal128 as 16-byte little-endian two's complement; the
+    low word carries the magnitude bits (uint64 semantics, viewed int64 for
+    the codec lane), the high word the sign extension — for real money
+    precisions (≤18) the hi lane is constant and packs to ~nothing.
+    """
+    buf = arr.buffers()[1]
+    raw = np.frombuffer(buf, dtype="<i8", count=2 * (len(arr) + arr.offset))
+    pairs = raw.reshape(-1, 2)[arr.offset :]
+    return np.ascontiguousarray(pairs[:, 0]), np.ascontiguousarray(pairs[:, 1])
+
+
+def decimal_from_lanes(lo: np.ndarray, hi: np.ndarray, token: str) -> pa.Array:
+    out = np.empty((len(lo), 2), dtype="<i8")
+    out[:, 0] = lo
+    out[:, 1] = hi
+    return pa.Array.from_buffers(
+        arrow_type(token), len(lo), [None, pa.py_buffer(out.tobytes())]
+    )
 
 
 def numpy_dtype(token: str) -> np.dtype:

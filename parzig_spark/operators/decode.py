@@ -47,6 +47,7 @@ _TOKEN_TO_SPARK = {
     "large_string": "string",
     "binary": "binary",
     "large_binary": "binary",
+    "halffloat": "float",  # Float16 widens losslessly (ref logical.zig:216-228)
 }
 
 # Arrow-side cast applied after decode so the batch type matches the
@@ -65,6 +66,7 @@ _TOKEN_CAST = {
     "timestamp[s]": pa.timestamp("us"),
     "timestamp[ms]": pa.timestamp("us"),
     "timestamp[ns]": pa.timestamp("us"),
+    "halffloat": pa.float32(),
 }
 
 
@@ -80,7 +82,14 @@ def _spark_type(meta: dict) -> str:
             f"{name}:{_spark_type(cm)}" for name, cm in zip(meta["fields"], meta["children"])
         )
         return f"struct<{inner}>"
-    return _TOKEN_TO_SPARK[codec_meta["dtype"]]
+    if meta.get("codec") == "decimal":
+        return "decimal" + meta["dtype"][len("decimal128") :]
+    if meta.get("fixed"):
+        return "binary"
+    if meta.get("halffloat"):
+        return "float"
+    token = codec_meta["dtype"]
+    return _TOKEN_TO_SPARK[token]
 
 
 def decoded_schema(
@@ -104,6 +113,10 @@ def decoded_schema(
         token = meta.get("codec_meta", {}).get("dtype") if meta.get("codec") not in ("list", "map", "struct") else None
         if token is not None and token in _TOKEN_CAST:
             casts[name] = _TOKEN_CAST[token]
+        if meta.get("fixed"):
+            casts[name] = pa.binary()  # Spark has no fixed-width binary
+        if meta.get("halffloat"):
+            casts[name] = pa.float32()  # lossless widening; Spark has no half
     if columns is not None:
         order = {c: i for i, c in enumerate(columns)}
         pairs = sorted(zip(cols, ddl), key=lambda p: order[p[0]])

@@ -65,6 +65,14 @@ def column_digest(arr: pa.Array) -> str:
         for i in range(t.num_fields):
             h.update(t.field(i).name.encode())
             h.update(column_digest(arr.field(i)).encode())
+    elif pa.types.is_decimal128(t):
+        lo, hi = dtypes.decimal_lanes(arr)
+        h.update(lo.tobytes())
+        h.update(hi.tobytes())
+    elif pa.types.is_fixed_size_binary(t):
+        w = t.byte_width
+        raw = np.frombuffer(arr.buffers()[1], dtype=np.uint8)
+        h.update(raw[arr.offset * w : (arr.offset + len(arr)) * w].tobytes())
     else:
         token = dtypes.dtype_token(t)
         if dtypes.is_string_like(token):
@@ -94,6 +102,9 @@ def column_minmax(arr: pa.Array) -> tuple[str | None, str | None]:
     )
     if not orderable or len(arr) == arr.null_count:
         return None, None
+    if t == pa.float16():  # no Arrow min_max kernel for halffloat
+        vals = arr.drop_null().to_numpy(zero_copy_only=False)
+        return str(float(vals.min())), str(float(vals.max()))
     mm = pa.compute.min_max(arr)
     return str(mm["min"].as_py()), str(mm["max"].as_py())
 

@@ -65,15 +65,22 @@ def column_stats(arr: pa.Array | pa.ChunkedArray) -> dict:
     else:
         token = dtypes.dtype_token(arr.type)
     stats["dtype"] = token
-    if token in ("list", "map", "struct"):
+    if token in ("list", "map", "struct") or token.startswith("decimal128("):
         return stats
     sample = _sample(arr.drop_null() if arr.null_count else arr)
+    if token == "halffloat":
+        # Arrow has no unique/compare kernels for halffloat; stats run on
+        # the bit-identical uint16 lane (the codec does the same).
+        sample = sample.view(pa.uint16())
     m = len(sample)
     if m == 0:
         return stats
     distinct = len(sample.unique())
     stats["distinct_ratio"] = distinct / m
     stats["sample_card"] = distinct
+    if token.startswith("fixed["):
+        stats["avg_len"] = float(int(token[len("fixed[") : -1]))
+        return stats
     if dtypes.is_string_like(token):
         lengths, data = dtypes.string_buffers(sample)
         stats["avg_len"] = float(lengths.mean()) if m else 0.0
@@ -118,6 +125,14 @@ def candidate_codecs(stats: dict) -> list[str]:
         return ["plain"]
     if token in ("list", "map", "struct"):
         return [token]
+    if token.startswith("decimal128("):
+        return ["decimal"]
+    if token.startswith("fixed["):
+        # fixed-width binary encodes through the variable-width binary
+        # codecs (cast inside encode_column); dict wins on low cardinality.
+        if stats.get("distinct_ratio", 1.0) <= 0.5:
+            return ["dict", "delta_length"]
+        return ["delta_length", "dict"]
     if dtypes.is_string_like(token):
         cands = []
         if stats.get("distinct_ratio", 1.0) <= 0.5:

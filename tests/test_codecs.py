@@ -197,3 +197,74 @@ def test_nested_list_of_struct():
     )
     blob, meta = encode_column(arr, "list")
     assert decode_column(blob, meta).equals(arr)
+
+
+# ---------------------------------------------------------------------------
+# Logical-type widenings: decimal128, FIXED_LEN_BYTE_ARRAY, float16
+# (reference: /root/reference/src/parquet/logical.zig:216-265,
+#  /root/reference/src/parquet/dynamic.zig:47-55)
+# ---------------------------------------------------------------------------
+
+
+def test_decimal_roundtrip_money():
+    from decimal import Decimal
+
+    vals = [Decimal(f"{i}.{i % 100:02d}") for i in range(1000)] + [None, Decimal("-0.01")]
+    arr = pa.array(vals, pa.decimal128(15, 2))
+    blob, meta = encode_column(arr, "decimal")
+    import json
+
+    json.dumps(meta)  # manifest-storable
+    out = decode_column(blob, meta)
+    assert out.equals(arr)
+    # money decimals: hi lane is sign extension → encodes near-nothing
+    assert len(blob) < 1000 * 8
+
+
+def test_decimal_roundtrip_wide_precision():
+    from decimal import Decimal
+
+    vals = [
+        Decimal(10**37 - 1),
+        Decimal(-(10**37)),
+        Decimal(0),
+        None,
+        Decimal(-12345678901234567890123456789),
+        Decimal(2**64),  # forces a live hi lane
+    ]
+    arr = pa.array(vals, pa.decimal128(38, 0))
+    blob, meta = encode_column(arr, "decimal")
+    assert decode_column(blob, meta).equals(arr)
+
+
+def test_decimal_selector_picks_decimal():
+    from decimal import Decimal
+
+    from parzig_spark.selector import choose_codec
+
+    arr = pa.array([Decimal("1.23")] * 100, pa.decimal128(10, 2))
+    codec, _ = choose_codec(arr)
+    assert codec == "decimal"
+
+
+def test_fixed_len_binary_roundtrip():
+    import uuid
+
+    for width in (1, 2, 8, 16):
+        vals = [uuid.UUID(int=i * 7919).bytes[:width] for i in range(300)] + [None]
+        arr = pa.array(vals, pa.binary(width))
+        for codec in ("dict", "delta_length", "plain"):
+            blob, meta = encode_column(arr, codec)
+            out = decode_column(blob, meta)
+            assert out.equals(arr), (width, codec)
+            assert out.type == pa.binary(width)
+
+
+def test_float16_roundtrip():
+    h = pa.array(np.array([0.5, -2.0, 65504.0, 1e-4, 0.0], dtype=np.float16).repeat(40))
+    for codec in ("for", "dict", "rle", "plain"):
+        blob, meta = encode_column(h, codec)
+        assert decode_column(blob, meta).equals(h), codec
+    hn = pa.array(list(np.array([1.5, 2.5], dtype=np.float16)) + [None])
+    blob, meta = encode_column(hn, "for")
+    assert decode_column(blob, meta).equals(hn)

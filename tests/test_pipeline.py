@@ -141,3 +141,138 @@ def test_store_config_guard(spark, corpus, tmp_path):
             size_col="content",
             target_bytes=256 << 10,
         ).count()
+
+
+def test_decode_table_widens_arrow_only_types(spark, tmp_path):
+    """A store written by an Arrow-side writer (uint/time/date64/float16/
+    fixed/ms-timestamps) must decode through decode_table with the SURVEY
+    §1.2 widenings — previously a KeyError at schema derivation."""
+    import json
+
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+
+    from parzig_spark.codecs import encode_column
+    from parzig_spark.operators.encode import column_digest, column_minmax
+    from parzig_spark.plans.manifest import ManifestStore
+
+    root = str(tmp_path / "arrowstore")
+    store = ManifestStore(root)
+    cols = {
+        "u8": (pa.array([0, 255, 7], pa.uint8()), "for"),
+        "u32": (pa.array([0, 2**32 - 1, 123], pa.uint32()), "for"),
+        "u64": (pa.array([0, 2**64 - 1, 42], pa.uint64()), "for"),
+        "t32": (pa.array([0, 86399999, 1], pa.time32("ms")), "for"),
+        "ts_ms": (pa.array([0, 1_600_000_000_000, 1], pa.timestamp("ms")), "for"),
+        "d64": (pa.array([0, 86400000 * 2, 86400000], pa.date64()), "for"),
+        "half": (pa.array(np.array([1.5, -2.0, 0.25], np.float16)), "for"),
+        "fx": (pa.array([b"ab", b"cd", b"ef"], pa.binary(2)), "dict"),
+    }
+    rows, blobs = [], {}
+    for name, (arr, codec) in cols.items():
+        blob, meta = encode_column(arr, codec)
+        smin, smax = column_minmax(arr)
+        blobs[name] = blob
+        rows.append(
+            {
+                "pid": 0,
+                "column": name,
+                "codec": codec,
+                "n_values": len(arr),
+                "raw_bytes": arr.nbytes,
+                "enc_bytes": len(blob),
+                "meta_json": json.dumps(meta),
+                "lineage_json": "{}",
+                "sha256": column_digest(arr),
+                "encode_s": 0.0,
+                "blob_file": store.blob_path(0, name),
+                "stat_min": smin,
+                "stat_max": smax,
+            }
+        )
+    store.write_partition(0, rows, blobs)
+
+    from parzig_spark.operators import decode_table
+
+    dec = decode_table(spark, root)
+    types = dict(dec.dtypes)
+    assert types == {
+        "u8": "smallint",
+        "u32": "bigint",
+        "u64": "decimal(20,0)",
+        "t32": "int",
+        "ts_ms": "timestamp",
+        "d64": "date",
+        "half": "float",
+        "fx": "binary",
+    }
+    got = {r["u8"]: r for r in dec.withColumn("ts_us", F.unix_micros("ts_ms")).collect()}
+    from decimal import Decimal
+
+    assert got[255]["u32"] == 2**32 - 1
+    assert got[255]["u64"] == Decimal(2**64 - 1)
+    assert got[255]["t32"] == 86399999
+    assert got[255]["ts_us"] == 1_600_000_000_000_000
+    assert str(got[255]["d64"]) == "1970-01-03"
+    assert got[255]["half"] == -2.0
+    assert got[255]["fx"] == bytearray(b"cd")
+
+
+def test_encode_table_spark_decimal_roundtrip(spark, tmp_path):
+    """DecimalType columns (real lakehouse money types) end to end through
+    encode_table/decode_table — bit-exact, never float."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from parzig_spark.operators import decode_table, encode_table
+
+    df = spark.range(0, 500).select(
+        (F.col("id") % 7).cast("int").alias("grp"),
+        F.col("id").cast("long").alias("k"),
+        (F.col("id") * 1.37).cast("decimal(15,2)").alias("money"),
+        (F.col("id") * -123456789.123456).cast("decimal(38,6)").alias("wide"),
+    )
+    root = str(tmp_path / "decstore")
+    encode_table(df, root, group_cols=["grp"], salt_cols=["k"], resume=False).count()
+    dec = decode_table(spark, root)
+    assert dict(dec.dtypes)["money"] == "decimal(15,2)"
+    assert dict(dec.dtypes)["wide"] == "decimal(38,6)"
+    src = {r["k"]: (r["money"], r["wide"]) for r in df.collect()}
+    got = {r["k"]: (r["money"], r["wide"]) for r in dec.collect()}
+    assert src == got
+
+
+def test_manifest_stats_prune_partitions(spark, tmp_path):
+    """Selective predicates skip whole partitions via manifest min/max —
+    fewer blobs opened (decode-side Statistics pruning, SURVEY §4)."""
+    from pyspark.sql import functions as F
+
+    from parzig_spark.operators import decode_table, encode_table
+    from parzig_spark.operators.decode import prune_manifests
+    from parzig_spark.plans.manifest import ManifestStore
+
+    df = spark.range(0, 100_000).select(
+        (F.col("id") / 12500).cast("int").alias("grp"),
+        F.col("id").alias("k"),
+        (F.col("id") * 3).alias("v"),
+    )
+    root = str(tmp_path / "prunestore")
+    encode_table(
+        df, root, group_cols=["grp"], salt_cols=["k"], target_bytes=256 << 10, resume=False
+    ).count()
+    store = ManifestStore(root)
+    snap = spark.read.parquet(store.fresh_snapshot())
+    total_pids = snap.select("pid").distinct().count()
+    pruned = prune_manifests(snap, [("k", ">=", 95_000)])
+    kept_pids = pruned.select("pid").distinct().count()
+    assert total_pids > 1
+    assert kept_pids < total_pids, (kept_pids, total_pids)
+
+    dec = decode_table(spark, root, predicates=[("k", ">=", 95_000)])
+    got = dec.filter(F.col("k") >= 95_000).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+    ).first()
+    assert got["n"] == 5000
+    assert got["s"] == sum(3 * k for k in range(95_000, 100_000))

@@ -203,49 +203,50 @@ def embedding_near_dups(
     threshold: float = 0.95,
     n_planes: int = 12,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via random-hyperplane LSH buckets.
 
-    Pairs are only compared within a bucket (expected bucket size n/2^planes),
-    making this the 100-TB-safe path; exact cosine verifies inside the
-    bucket.
+    Pairs are only compared within a bucket (expected bucket size
+    n/2^planes) through a self-equi-join on the bucket key — co-partitioned
+    shuffle, never all-pairs, the 100-TB-safe shape. Bucketing and the
+    exact cosine verification are pure Catalyst expressions (JVM codegen,
+    no Python workers, and DuckDB-oracleable bit-for-bit).
     """
-    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
-    dim = first["d"] if first else 0
-    rng = np.random.default_rng(seed)
-    planes = rng.normal(size=(n_planes, dim)).astype(np.float64)
+    from .similarity import _cosine_expr, lsh_index
 
-    def bucket(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            signs = (mat @ planes.T) > 0
-            codes = np.packbits(signs, axis=1, bitorder="little")[:, :2]
-            padded = np.zeros((len(pdf), 8), dtype=np.uint8)
-            padded[:, : codes.shape[1]] = codes
-            out = pdf[[key_col]].copy()
-            out["bucket"] = padded.view("<u8").reshape(-1).astype(np.int64)
-            out["vec"] = pdf[vec_col]
-            yield out
-
-    kt = dict(df.dtypes)[key_col]
-    vt = dict(df.dtypes)[vec_col]
-    bucketed = df.select(key_col, vec_col).mapInPandas(
-        bucket, schema=f"{key_col} {kt}, bucket long, vec {vt}"
+    bucketed = lsh_index(df, vec_col, key_col, n_planes, seed, dim)
+    left = bucketed.alias("l")
+    right = bucketed.alias("r")
+    cos = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}"),
+                lambda x, y: x.cast("double") * y.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / (
+            F.sqrt(F.aggregate(
+                F.transform(F.col(f"l.{vec_col}"), lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0), lambda acc, x: acc + x))
+            * F.sqrt(F.aggregate(
+                F.transform(F.col(f"r.{vec_col}"), lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0), lambda acc, x: acc + x))
+        ),
+        6,
     )
-
-    def pairwise(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        mat = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
-        norms = np.linalg.norm(mat, axis=1)
-        norms[norms == 0] = 1.0
-        unit = mat / norms[:, None]
-        sims = unit @ unit.T
-        ia, ib = np.triu_indices(len(pdf), k=1)
-        keep = sims[ia, ib] >= threshold
-        keys = pdf[key_col].to_numpy()
-        a, b = keys[ia[keep]], keys[ib[keep]]
-        lo, hi = np.minimum(a, b), np.maximum(a, b)
-        return pd.DataFrame({"key_a": lo, "key_b": hi, "cosine": sims[ia, ib][keep]})
-
-    return bucketed.groupBy("bucket").applyInPandas(
-        pairwise, schema=f"key_a {kt}, key_b {kt}, cosine double"
+    return (
+        left.join(
+            right,
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{key_col}") < F.col(f"r.{key_col}")),
+        )
+        .select(
+            F.col(f"l.{key_col}").alias("key_a"),
+            F.col(f"r.{key_col}").alias("key_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
     )

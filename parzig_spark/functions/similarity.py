@@ -3,8 +3,15 @@
 Two paths per the build brief:
 - brute-force cosine top-k — fully declarative (zip_with/aggregate, JVM
   codegen, no Python), the correctness baseline and DuckDB-oracleable;
-- IVF-style bucketed ANN — random-hyperplane LSH routing with multi-probe,
-  the 100-TB scale path: the query only scans matching buckets.
+- IVF-style bucketed ANN — random-hyperplane LSH with a MATERIALIZED index
+  (parquet partitioned by bucket), the 100-TB scale path: a probe reads
+  only the matching bucket partitions off storage (partition pruning), it
+  never scans the full table.
+
+Determinism note: bucket signs are computed with left-associated double
+arithmetic (Catalyst expressions for dims ≤ _CATALYST_DIM_CAP, otherwise a
+vectorized pandas UDF), so the same formula re-stated in SQL (DuckDB
+oracle) or driver-side Python reproduces identical buckets bit-for-bit.
 """
 
 from __future__ import annotations
@@ -13,8 +20,13 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# Above this dimensionality the per-term Catalyst expression gets unwieldy
+# for codegen; the pandas-UDF path takes over (numpy matmul — same signs in
+# the non-degenerate case, but not guaranteed bit-identical to SQL).
+_CATALYST_DIM_CAP = 256
 
 
 def _cosine_expr(vec_col: str, qcol: str):
@@ -61,8 +73,37 @@ def cosine_topk(
     return scored.orderBy(F.col("cosine").desc(), F.col(key_col)).limit(k)
 
 
-def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return np.random.default_rng(seed).normal(size=(n_planes, dim)).astype(np.float64)
+
+
+def bucket_expr(vec_col: str, planes: np.ndarray):
+    """Catalyst LSH bucket id: bit i set iff dot(vec, plane_i) > 0.
+
+    Left-associated double sums — bit-reproducible in SQL or Python.
+    """
+    total = None
+    for i, row in enumerate(planes):
+        dot = None
+        for j, w in enumerate(row):
+            term = F.element_at(F.col(vec_col), j + 1).cast("double") * F.lit(float(w))
+            dot = term if dot is None else dot + term
+        bit = F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        total = bit if total is None else total + bit
+    return total.cast("long")
+
+
+def bucket_of(vec, planes: np.ndarray) -> int:
+    """Driver-side twin of :func:`bucket_expr` (same fold order)."""
+    b = 0
+    for i, row in enumerate(planes):
+        dot = None
+        for x, w in zip(vec, row):
+            term = float(x) * float(w)
+            dot = term if dot is None else dot + term
+        if dot is not None and dot > 0:
+            b |= 1 << i
+    return b
 
 
 def _bucket_codes(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
@@ -73,18 +114,27 @@ def _bucket_codes(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
     return padded.view("<u8").reshape(-1).astype(np.int64)
 
 
+def _vector_dim(df: DataFrame, vec_col: str) -> int:
+    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    return first["d"] if first else 0
+
+
 def lsh_index(
     df: DataFrame,
     vec_col: str = "embedding",
     key_col: str = "vec_id",
     n_planes: int = 10,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
-    """Attach an LSH bucket id. At scale, write this out partitioned/bucketed
-    by `bucket` so probes read only matching files (partition pruning)."""
-    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
-    dim = first["d"] if first else 0
-    planes = _hyperplanes(dim, n_planes, seed)
+    """Attach an LSH bucket id column (Catalyst for small dims — zero
+    Python in the plan; vectorized pandas UDF above _CATALYST_DIM_CAP).
+    Pass ``dim`` to avoid the one-row dimension probe job."""
+    if dim is None:
+        dim = _vector_dim(df, vec_col)
+    planes = hyperplanes(dim, n_planes, seed)
+    if dim <= _CATALYST_DIM_CAP:
+        return df.select(key_col, vec_col).withColumn("bucket", bucket_expr(vec_col, planes))
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -99,6 +149,39 @@ def lsh_index(
     )
 
 
+def build_lsh_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    n_planes: int = 10,
+    seed: int = 42,
+    dim: int | None = None,
+) -> str:
+    """MATERIALIZE the LSH index: parquet partitioned by bucket, so probes
+    read only matching bucket directories (storage-level partition
+    pruning). Build once, probe many — the index is never recomputed per
+    query."""
+    indexed = lsh_index(df, vec_col, key_col, n_planes, seed, dim)
+    indexed.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    return path
+
+
+def probe_buckets(query_vec, planes: np.ndarray, radius: int = 1) -> list[int]:
+    """Query bucket plus every bucket within Hamming distance ``radius``
+    (multi-probe LSH with a closed-form probe set — SQL-reproducible)."""
+    base = bucket_of(query_vec, planes)
+    probes = {base}
+    if radius >= 1:
+        for i in range(len(planes)):
+            probes.add(base ^ (1 << i))
+    if radius >= 2:
+        for i in range(len(planes)):
+            for j in range(i + 1, len(planes)):
+                probes.add(base ^ (1 << i) ^ (1 << j))
+    return sorted(probes)
+
+
 def lsh_topk(
     indexed: DataFrame,
     query_vec: list[float],
@@ -107,22 +190,37 @@ def lsh_topk(
     key_col: str = "vec_id",
     n_planes: int = 10,
     seed: int = 42,
-    n_probes: int = 8,
+    radius: int = 1,
 ) -> DataFrame:
-    """ANN top-k: scan only the query's bucket plus its n_probes nearest
-    Hamming-neighbor buckets (multi-probe LSH)."""
+    """ANN top-k over an indexed DataFrame (bucket column attached):
+    scan only the query's bucket and its Hamming-``radius`` neighbors."""
     dim = len(query_vec)
-    planes = _hyperplanes(dim, n_planes, seed)
-    q = np.asarray(query_vec, dtype=np.float64)[None, :]
-    base = int(_bucket_codes(q, planes)[0])
-    probes = {base}
-    margins = np.abs(q @ planes.T).reshape(-1)
-    for bit in np.argsort(margins)[: max(0, n_probes - 1)]:
-        probes.add(base ^ (1 << int(bit)))
-    qdf = indexed.sparkSession.createDataFrame([(list(map(float, query_vec)),)], f"_q {dict(indexed.dtypes)[vec_col]}")
-    candidates = indexed.filter(F.col("bucket").isin([int(p) for p in probes]))
+    planes = hyperplanes(dim, n_planes, seed)
+    probes = probe_buckets(query_vec, planes, radius)
+    qdf = indexed.sparkSession.createDataFrame(
+        [(list(map(float, query_vec)),)], f"_q array<float>"
+    )
+    candidates = indexed.filter(F.col("bucket").isin(probes))
     scored = candidates.crossJoin(F.broadcast(qdf)).select(
         F.col(key_col),
         F.round(_cosine_expr(vec_col, "_q"), 6).alias("cosine"),
     )
     return scored.orderBy(F.col("cosine").desc(), F.col(key_col)).limit(k)
+
+
+def lsh_topk_indexed(
+    spark: SparkSession,
+    path: str,
+    query_vec: list[float],
+    k: int = 20,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    n_planes: int = 10,
+    seed: int = 42,
+    radius: int = 1,
+) -> DataFrame:
+    """ANN top-k against a MATERIALIZED index: the bucket filter lands on
+    the parquet partition column, so only probe directories are read
+    (verify with .explain(): PartitionFilters, not a full scan)."""
+    indexed = spark.read.parquet(path)
+    return lsh_topk(indexed, query_vec, k, vec_col, key_col, n_planes, seed, radius)

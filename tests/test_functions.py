@@ -132,3 +132,31 @@ def test_multimodal_sniff_and_stub(spark):
     meta = {r["doc_id"]: r for r in mm.media_metadata(df, "data", ["doc_id"]).collect()}
     assert meta[1]["n_bytes"] == len(png)
     assert meta[1]["magic_hex"].startswith("89504e47")
+
+
+def test_lsh_index_partition_pruning_and_recall(spark, tmp_path):
+    """The materialized LSH index prunes bucket partitions at the source
+    (PartitionFilters on `bucket`), and a planted near-duplicate of the
+    query lands in the ANN top-k."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from parzig_spark.functions import similarity as sim
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(300, 16)).astype(np.float32)
+    query = vecs[0].tolist()
+    planted = (vecs[0] + rng.normal(scale=1e-3, size=16).astype(np.float32)).tolist()
+    rows = [(i + 1, [float(x) for x in vecs[i]]) for i in range(300)]
+    rows.append((999, [float(x) for x in planted]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    path = str(tmp_path / "lshidx")
+    sim.build_lsh_index(df, path, n_planes=6, dim=16)
+
+    probe = sim.lsh_topk_indexed(spark, path, query, k=10, n_planes=6, radius=1)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan, plan[:2000]
+    got = probe.collect()
+    keys = [r["vec_id"] for r in got]
+    assert 999 in keys, keys  # planted near-dup recalled
+    assert keys[0] in (1, 999)  # query itself (vec_id=1) or its twin on top

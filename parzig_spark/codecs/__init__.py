@@ -71,6 +71,7 @@ _DECODERS = {
 }
 
 OUTER_KEEP_RATIO = 0.95  # keep outer compression only if ≥5% savings
+_OUTER_TRIAL_BYTES = 256 << 10  # auto zstd-vs-lz4 trial prefix
 
 
 def _combine(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
@@ -212,7 +213,16 @@ def encode_column(
         arr = arr.view(pa.uint16())
     payload, cmeta = _ENCODERS[codec](arr)
     meta["codec_meta"] = cmeta
-    if outer == "auto":
+    if outer == "auto" and len(payload) > 64:
+        # Per-blob dispatch between zstd (denser) and lz4 (~5× faster), the
+        # role of the reference's per-page codec switch
+        # (/root/reference/src/parquet/rowGroupReader.zig:330-370): measure
+        # both on a bounded prefix; lz4 wins unless zstd is ≥10% smaller.
+        head = payload[: _OUTER_TRIAL_BYTES] if len(payload) > _OUTER_TRIAL_BYTES else payload
+        z = len(pa.Codec("zstd").compress(head, asbytes=True))
+        l4 = len(pa.Codec("lz4").compress(head, asbytes=True))
+        outer = "zstd" if z < 0.9 * l4 else "lz4"
+    elif outer == "auto":
         outer = "zstd"
     if outer and len(payload) > 64:
         codec_obj = pa.Codec(outer)

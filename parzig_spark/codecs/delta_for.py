@@ -25,15 +25,7 @@ import numpy as np
 import pyarrow as pa
 
 from . import dtypes
-from .bitio import (
-    bit_width_u64,
-    decode_uleb128,
-    encode_uleb128,
-    pack_bits_le,
-    unpack_bits_le,
-    zigzag_decode_u64,
-    zigzag_encode_i64,
-)
+from .bitio import bit_width_u64, pack_bits_le, unpack_bits_le
 
 NAME = "delta"
 BLOCK = 128
@@ -41,7 +33,15 @@ _U64 = np.uint64
 
 
 def _encode_blocks(lane_u64: np.ndarray) -> bytes:
-    """Pack a uint64 stream as per-block (zigzag-varint frame, width, bits)."""
+    """Pack a uint64 stream as [mins i64·nb][widths u8·nb][payloads].
+
+    Fixed-width header sections (instead of interleaved zigzag varints) so
+    decode parses ALL block headers with two np.frombuffer calls — no
+    per-block Python loop (the old decode ceiling: ~65k header iterations
+    for a 64 MB int64 partition). Contiguous mins compress well under the
+    outer codec (constant or slowly-moving frames), recovering the varint
+    savings.
+    """
     m = len(lane_u64)
     nb = (m + BLOCK - 1) // BLOCK
     if nb == 0:
@@ -65,41 +65,34 @@ def _encode_blocks(lane_u64: np.ndarray) -> bytes:
         for k, b in enumerate(sel):
             payloads[b] = packed[k * per : (k + 1) * per]
     out = bytearray()
-    zz_mins = zigzag_encode_i64(mins_signed)
-    for b in range(nb):
-        out += encode_uleb128(int(zz_mins[b]))
-        out.append(int(widths[b]))
-        out += payloads[b]
+    out += mins_signed.astype("<i8").tobytes()
+    out += widths.astype("<u1").tobytes()
+    for p in payloads:
+        out += p
     return bytes(out)
 
 
 def _decode_blocks(blob, m: int) -> np.ndarray:
-    """Inverse of _encode_blocks → uint64 array of length m."""
+    """Inverse of _encode_blocks → uint64 array of length m. Vectorized:
+    header parse is two frombuffers; per distinct width, block payloads are
+    gathered with one fancy-index and unpacked in one call."""
     if m == 0:
         return np.zeros(0, dtype=_U64)
     nb = (m + BLOCK - 1) // BLOCK
-    buf = memoryview(blob)
-    mins = np.empty(nb, dtype=np.int64)
-    widths = np.empty(nb, dtype=np.int64)
-    spans: list[tuple[int, int]] = []
-    pos = 0
-    for b in range(nb):
-        zz, pos = decode_uleb128(buf, pos)
-        mins[b] = zigzag_decode_u64(np.array([zz], dtype=_U64))[0]
-        w = buf[pos]
-        pos += 1
-        widths[b] = w
-        per = BLOCK * w // 8
-        spans.append((pos, per))
-        pos += per
+    buf = np.frombuffer(blob, dtype=np.uint8)
+    mins = np.frombuffer(buf[: nb * 8], dtype="<i8")
+    widths = buf[nb * 8 : nb * 9].astype(np.int64)
+    per = widths * (BLOCK // 8)  # payload bytes per block
+    block_starts = nb * 9 + np.concatenate(([0], np.cumsum(per)[:-1]))
     offsets = np.zeros((nb, BLOCK), dtype=_U64)
     for w in np.unique(widths):
         if w == 0:
             continue
         sel = np.flatnonzero(widths == w)
-        chunk = b"".join(bytes(buf[s : s + ln]) for s, ln in (spans[b] for b in sel))
-        vals = unpack_bits_le(chunk, len(sel) * BLOCK, int(w)).reshape(len(sel), BLOCK)
-        offsets[sel] = vals
+        length = int(w) * (BLOCK // 8)
+        gathered = buf[block_starts[sel][:, None] + np.arange(length)[None, :]]
+        vals = unpack_bits_le(np.ascontiguousarray(gathered).reshape(-1), len(sel) * BLOCK, int(w))
+        offsets[sel] = vals.reshape(len(sel), BLOCK)
     lanes = offsets + mins.view(_U64)[:, None]
     return lanes.reshape(-1)[:m]
 

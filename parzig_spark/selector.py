@@ -159,6 +159,10 @@ def candidate_codecs(stats: dict) -> list[str]:
         cands.append("delta")
     if stats.get("range_bits", 64) <= 48:
         cands.append("for")
+    if stats.get("range_bits", 64) <= 16:
+        # narrow lanes (bools, enums, small deltas): a single frameless
+        # bit-packed span beats FOR's per-block headers
+        cands.append("bitpack")
     if not cands:
         cands.append("plain")
     return cands

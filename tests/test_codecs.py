@@ -268,3 +268,35 @@ def test_float16_roundtrip():
     hn = pa.array(list(np.array([1.5, 2.5], dtype=np.float16)) + [None])
     blob, meta = encode_column(hn, "for")
     assert decode_column(blob, meta).equals(hn)
+
+
+# ---------------------------------------------------------------------------
+# Outer block compression (reference codec dispatch:
+# /root/reference/src/parquet/rowGroupReader.zig:330-370, snappy decoder
+# src/compress/snappy.zig, lz4 src/compress/lz4.zig)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("outer", [None, "zstd", "lz4", "snappy", "gzip", "auto"])
+def test_outer_codecs_roundtrip(outer):
+    text = pa.array(
+        [f"def fn_{i}(x):\n    return x * {i % 7} + offset_{i % 13}\n" * 8 for i in range(500)]
+    )
+    ints = pa.array((np.arange(5000) % 97).astype(np.int64))
+    for arr, codec in ((text, "delta_length"), (ints, "for")):
+        blob, meta = encode_column(arr, codec, outer=outer)
+        assert decode_column(blob, meta).equals(arr), (outer, codec)
+        if outer in ("zstd", "lz4", "snappy", "gzip"):
+            assert meta.get("outer", {}).get("codec") == outer, meta
+        if outer == "auto":
+            assert meta.get("outer", {}).get("codec") in ("zstd", "lz4"), meta
+        if outer is None:
+            assert "outer" not in meta
+
+
+def test_outer_auto_prefers_zstd_on_compressible_text():
+    # Highly repetitive text: zstd beats lz4 by far more than 10% → picked.
+    arr = pa.array(["the quick brown fox jumps over the lazy dog " * 40] * 300)
+    blob, meta = encode_column(arr, "delta_length", outer="auto")
+    assert decode_column(blob, meta).equals(arr)
+    assert "outer" in meta

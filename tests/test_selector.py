@@ -33,7 +33,9 @@ CASES = {
         pa.array([RNG.bytes(24).hex() for _ in range(2000)]),
         {"delta_length", "fsst"},  # selector must NOT pick dict
     ),
-    "bool_runs": (pa.array(([True] * 40 + [False] * 25) * 200), {"rle"}),
+    # long width-1 runs: RLE strictly beats the 1-bit/value packed floor
+    # (short runs of ~40 are a three-way tie with bitpack/for — not pinned)
+    "bool_runs": (pa.array(([True] * 400 + [False] * 250) * 20), {"rle"}),
     "embedding_lists": (
         pa.array([RNG.normal(size=16).astype(np.float32) for _ in range(200)], pa.list_(pa.float32())),
         {"list"},

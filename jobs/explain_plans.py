@@ -69,6 +69,38 @@ def main() -> None:
         "Catalyst expressions (xxhash64/pmod) — a single shuffle total for the encode.",
     )
 
+    import tempfile
+
+    from parzig_spark.functions import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    idx_path = tempfile.mkdtemp(prefix="explain_lshidx_")
+    sim.build_lsh_index(emb.filter(F.col("vec_id") != 0), idx_path, n_planes=6, dim=64)
+    grab(
+        "Materialized LSH ANN probe (bucket partition pruning)",
+        sim.lsh_topk_indexed(spark, idx_path, list(qrow["embedding"]), k=20, n_planes=6),
+        "The index is parquet partitioned by `bucket`; the probe's IN-filter lands in "
+        "`PartitionFilters`, so only the query's Hamming-radius-1 bucket directories "
+        "are read — the scan never touches the other ~57/64 buckets.",
+    )
+
+    from parzig_spark.operators import decode_table, encode_table
+    from parzig_spark.plans.manifest import ManifestStore
+
+    store_root = tempfile.mkdtemp(prefix="explain_store_")
+    encode_table(
+        docs, store_root, group_cols=["lang", "source"], salt_cols=["doc_id"],
+        size_col="text", target_bytes=1 << 20, resume=False,
+    ).count()
+    grab(
+        "Manifest-stats decode pruning",
+        decode_table(spark, store_root, predicates=[("doc_id", ">=", 400)]),
+        "Manifests come from one snapshot parquet via spark.read; partitions whose "
+        "recorded [stat_min, stat_max] cannot satisfy the predicate are anti-joined "
+        "away before any blob is opened (decode-side Statistics skipping).",
+    )
+
     out = "# EXPLAIN — physical plans of the key dataflows\n\n" + "\n".join(sections)
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "EXPLAIN.md")
     with open(path, "w") as f:

@@ -32,18 +32,94 @@ def dedup_exact(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") 
     )
 
 
-def _char_shingles(texts: pd.Series, k: int) -> list[np.ndarray]:
-    """Each doc → array of uint64 rolling hashes of its k-char shingles."""
-    out = []
-    for t in texts:
-        b = np.frombuffer((t or "").encode("utf-8", "surrogatepass"), dtype=np.uint8)
-        if len(b) < k:
-            out.append(np.zeros(1, dtype=np.uint64))
-            continue
-        windows = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
-        mult = np.uint64(31) ** np.arange(k, dtype=np.uint64)
-        out.append((windows * mult).sum(axis=1))
+def _cumsum0(a: np.ndarray) -> np.ndarray:
+    out = np.zeros(len(a) + 1, dtype=np.int64)
+    np.cumsum(a, out=out[1:])
     return out
+
+
+def _shingle_hash_batch(texts: pd.Series, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Whole-batch k-shingle rolling hashes — one flat kernel, no per-doc
+    numpy calls (the old per-document loop was the minhash throughput
+    ceiling on many-small-docs corpora).
+
+    All documents' bytes are concatenated once; the rolling hash
+    ``sum_j byte[j]*31^j`` is k vectorized multiply-adds over the whole
+    concatenation; cross-document windows are dropped by a repeat/cumsum
+    gather. Returns (hashes, offsets) where doc i's shingle hashes are
+    ``hashes[offsets[i]:offsets[i+1]]`` (empty for docs shorter than k —
+    callers substitute the legacy single 0-hash).
+    """
+    bufs = [(t or "").encode("utf-8", "surrogatepass") for t in texts]
+    lens = np.fromiter((len(b) for b in bufs), np.int64, len(bufs))
+    cnt = np.maximum(lens - k + 1, 0)
+    offsets = _cumsum0(cnt)
+    if offsets[-1] == 0:
+        return np.zeros(0, dtype=np.uint64), offsets
+    # Chunk over whole documents (~8 MB of bytes each) so the working
+    # buffers stay allocator-recycled — this host faults fresh large
+    # allocations in at ~100 MB/s (CLAUDE.md), so one giant pass would be
+    # page-fault-bound while fixed-size chunks run at memory speed.
+    cum = np.cumsum(lens)
+    bounds = [0]
+    while bounds[-1] < len(lens):
+        done = int(cum[bounds[-1] - 1]) if bounds[-1] else 0
+        nxt = int(np.searchsorted(cum, done + _SHINGLE_CHUNK_BYTES)) + 1
+        bounds.append(min(max(nxt, bounds[-1] + 1), len(lens)))
+    parts = [
+        _shingle_hash_flat(bufs[s:e], lens[s:e], cnt[s:e], k)
+        for s, e in zip(bounds, bounds[1:])
+    ]
+    h = np.concatenate(parts) if len(parts) > 1 else parts[0]
+    return h, offsets
+
+
+_SHINGLE_CHUNK_BYTES = 8 << 20
+
+
+def _shingle_hash_flat(bufs: list, lens: np.ndarray, cnt: np.ndarray, k: int) -> np.ndarray:
+    """Rolling hashes for one chunk of documents, concatenated once."""
+    data = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    total = len(data) - k + 1
+    if total <= 0 or int(cnt.sum()) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    mult = np.uint64(31) ** np.arange(k, dtype=np.uint64)
+    h = np.zeros(total, dtype=np.uint64)
+    tmp = np.empty(total, dtype=np.uint64)
+    for j in range(k):
+        tmp[:] = data[j : j + total]  # widening store into the u64 buffer
+        tmp *= mult[j]
+        h += tmp
+    # Drop windows that cross a document boundary: doc i's invalid window
+    # starts are its last min(k-1, len_i) byte positions — a tiny index
+    # set ((k-1)·n_docs), no O(total) arange/gather needed.
+    doc_starts = _cumsum0(lens)[:-1]
+    bad_per_doc = lens - cnt
+    bad = np.repeat(doc_starts + cnt, bad_per_doc) + _segment_local_index(bad_per_doc)
+    keep = np.ones(total, dtype=bool)
+    keep[bad[bad < total]] = False
+    return h[keep]
+
+
+def _segment_local_index(counts: np.ndarray) -> np.ndarray:
+    """[0..c0), [0..c1), ... concatenated (vectorized)."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    starts = _cumsum0(counts)[:-1]
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+
+
+def _char_shingles(texts: pd.Series, k: int) -> list[np.ndarray]:
+    """Each doc → array of uint64 rolling hashes of its k-char shingles
+    (views into the batched kernel's output; docs shorter than k hash to
+    the single sentinel 0, preserving the original per-doc semantics)."""
+    h, offsets = _shingle_hash_batch(texts, k)
+    zero = np.zeros(1, dtype=np.uint64)
+    return [
+        h[offsets[i] : offsets[i + 1]] if offsets[i + 1] > offsets[i] else zero
+        for i in range(len(offsets) - 1)
+    ]
 
 
 def minhash_signatures(
@@ -61,12 +137,21 @@ def minhash_signatures(
 
     def sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            shingles = _char_shingles(pdf[text_col], shingle_k)
-            sigs = []
-            for sh in shingles:
-                # (n_hashes, n_shingles) universal hash, min per row.
-                hashed = (a[:, None] * sh[None, :] + b[:, None]) % np.uint64(_MERSENNE)
-                sigs.append(hashed.min(axis=1).astype(np.int64).tolist())
+            h, offsets = _shingle_hash_batch(pdf[text_col], shingle_k)
+            n_docs = len(pdf)
+            cnt = np.diff(offsets)
+            nonempty = cnt > 0
+            ne_starts = offsets[:-1][nonempty]
+            sig_mat = np.empty((n_hashes, n_docs), dtype=np.uint64)
+            # One universal-hash pass + segment-min per hash function over
+            # the WHOLE batch (np.minimum.reduceat) — no per-document loop.
+            for i in range(n_hashes):
+                g = (a[i] * h + b[i]) % np.uint64(_MERSENNE)
+                if ne_starts.size:
+                    sig_mat[i, nonempty] = np.minimum.reduceat(g, ne_starts)
+                # docs shorter than k hash the single sentinel shingle 0
+                sig_mat[i, ~nonempty] = b[i] % np.uint64(_MERSENNE)
+            sigs = sig_mat.T.astype(np.int64).tolist()
             yield pd.DataFrame({key_col: pdf[key_col], "signature": sigs})
 
     key_type = dict(df.dtypes)[key_col]

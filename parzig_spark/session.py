@@ -34,10 +34,13 @@ def get_spark(
         # sha-over-200MB goes 1.4s@16 → 6.5s@32 workers). Cap concurrent
         # tasks to ≤16 per host via task.cpus; on a real cluster the same
         # knob sizes worker concurrency to memory bandwidth per executor.
-        try:
-            n = int(master.split("[")[1].rstrip("]*")) if "[" in master else cores
-        except ValueError:
-            n = cores
+        if master.startswith("local-cluster"):
+            n = 1  # per-executor cores are small; one task per core
+        else:
+            try:
+                n = int(master.split("[")[1].rstrip("]*")) if "[" in master else cores
+            except ValueError:
+                n = cores
         task_cpus = int(os.environ.get("SPARK_GRAFT_TASK_CPUS", max(1, -(-n // 16))))
     builder = (
         SparkSession.builder.master(master)
@@ -54,6 +57,20 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.task.cpus", str(task_cpus))
     )
+    if master.startswith("local-cluster"):
+        # Multi-process executors (the closest this sandbox gets to real
+        # N→4N executors): worker JVMs need the repo on their python path
+        # and enough python-worker memory headroom.
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        extra = os.environ.get("PYTHONPATH", "")
+        builder = builder.config(
+            "spark.executorEnv.PYTHONPATH", repo + (os.pathsep + extra if extra else "")
+        ).config(
+            # executors request spark.executor.memory, NOT the worker-mem
+            # field of the master string (default 1g OOMs real workloads)
+            "spark.executor.memory",
+            os.environ.get("SPARK_GRAFT_EXECUTOR_MEM", "8g"),
+        )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

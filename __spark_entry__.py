@@ -108,6 +108,21 @@ def _ann_lsh_sql() -> str:
     """
 
 
+def _ann_recall_sql() -> str:
+    return f"""
+        WITH lsh AS ({_ann_lsh_sql()}),
+             brute AS (
+               SELECT vec_id
+               FROM embeddings, (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
+               WHERE vec_id != 0
+               ORDER BY round(list_cosine_similarity(embedding, q), 6) DESC, vec_id
+               LIMIT 20
+             )
+        SELECT CAST(count(*) AS DOUBLE) / 20.0 AS recall_at_20
+        FROM lsh JOIN brute USING (vec_id)
+    """
+
+
 def _embedding_near_dups_sql() -> str:
     planes = sim.hyperplanes(64, 6, 42)
     return f"""
@@ -378,6 +393,17 @@ def q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def q_ann_lsh_recall(spark, sf_dir):
+    """Recall@20 of the materialized-index ANN probe against the exact
+    brute-force top-20 — both sides fully SQL-expressible, so the quality
+    of the approximate path is itself oracle-verified."""
+    brute = q_ann_cosine_topk(spark, sf_dir).select("vec_id")
+    lsh = q_ann_lsh_topk(spark, sf_dir).select("vec_id")
+    return lsh.intersect(brute).agg(
+        (F.count(F.lit(1)) / F.lit(20.0)).alias("recall_at_20")
+    )
+
+
 def q_embedding_near_dups(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     # Embeddings are near-orthonormal random vectors (pairwise cosine p99 ~0.29);
@@ -540,6 +566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_verified": q_ngram_jaccard_verified,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_lsh_recall": q_ann_lsh_recall,
         "embedding_near_dups": q_embedding_near_dups,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "multimodal_metadata": q_multimodal_metadata,
@@ -635,6 +662,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": _multimodal_features_sql(),
         "lang_id": _lang_id_sql(),
         "ann_lsh_topk": _ann_lsh_sql(),
+        "ann_lsh_recall": _ann_recall_sql(),
         "embedding_near_dups": _embedding_near_dups_sql(),
         "ngram_jaccard_pairs": r"""
             WITH s AS (

@@ -298,9 +298,18 @@ def embedding_near_dups(
     exact cosine verification are pure Catalyst expressions (JVM codegen,
     no Python workers, and DuckDB-oracleable bit-for-bit).
     """
-    from .similarity import _cosine_expr, lsh_index
+    from .similarity import lsh_index
 
-    bucketed = lsh_index(df, vec_col, key_col, n_planes, seed, dim)
+    # Per-row norm computed ONCE before the join (the pair count inside a
+    # bucket is quadratic in bucket size; norms must not be).
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col(vec_col), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    bucketed = lsh_index(df, vec_col, key_col, n_planes, seed, dim).withColumn("_norm", norm)
     left = bucketed.alias("l")
     right = bucketed.alias("r")
     cos = F.round(
@@ -312,14 +321,7 @@ def embedding_near_dups(
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        / (
-            F.sqrt(F.aggregate(
-                F.transform(F.col(f"l.{vec_col}"), lambda x: x.cast("double") * x.cast("double")),
-                F.lit(0.0), lambda acc, x: acc + x))
-            * F.sqrt(F.aggregate(
-                F.transform(F.col(f"r.{vec_col}"), lambda x: x.cast("double") * x.cast("double")),
-                F.lit(0.0), lambda acc, x: acc + x))
-        ),
+        / (F.col("l._norm") * F.col("r._norm")),
         6,
     )
     return (

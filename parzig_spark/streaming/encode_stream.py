@@ -72,6 +72,33 @@ def encode_stream(
     return writer.start()
 
 
+def dedup_stream(
+    docs_stream: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Cross-micro-batch exact deduplication as a stateful streaming op.
+
+    Fingerprints each document (md5 of whitespace-normalized lowercase —
+    the same fp as batch ``dedup_exact``) and drops repeats across ALL
+    previous micro-batches: Structured Streaming keeps the seen-fingerprint
+    set as managed state. With ``ts_col`` the state is bounded by
+    ``dropDuplicatesWithinWatermark`` (late re-occurrences past the
+    watermark age out — the production shape; unbounded state is the
+    alternative the watermark exists to avoid).
+    """
+    normalized = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    fp = docs_stream.withColumn("fp", F.md5(normalized))
+    if ts_col is not None:
+        fp = fp.withColumn(ts_col, F.col(ts_col).cast("timestamp")).withWatermark(
+            ts_col, watermark
+        )
+        return fp.dropDuplicatesWithinWatermark(["fp"])
+    return fp.dropDuplicates(["fp"])
+
+
 def windowed_event_counts(
     events_stream: DataFrame,
     window: str = "1 hour",

@@ -126,3 +126,43 @@ def test_windowed_event_counts_matches_batch(spark, tmp_path):
     assert got, "streaming produced no windows"
     for k, v in got.items():
         assert expected[k] == v, k
+
+
+def test_dedup_stream_across_batches(spark, tmp_path):
+    """Stateful streaming dedup: duplicates arriving in a LATER micro-batch
+    are dropped by streaming state; output fps equal batch dedup's."""
+    from parzig_spark.functions.dedup import dedup_exact
+    from parzig_spark.streaming import dedup_stream
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    d = tmp_path / "dedup_in"
+    d.mkdir()
+    first = docs.filter(F.col("doc_id") < 300)
+    out_dir = str(tmp_path / "dedup_out")
+    docs.filter(F.col("doc_id") < 150).write.parquet(str(d / "b0.parquet"))
+    stream = spark.readStream.schema(docs.schema).parquet(str(d) + "/*")
+
+    def run_once():
+        q = (
+            dedup_stream(stream)
+            .select("doc_id", "fp")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "cp"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    # batch 2 re-delivers all of batch 1 (exact duplicates) plus new docs;
+    # the streaming state (seen fingerprints, restored from the checkpoint)
+    # must drop the re-deliveries.
+    first.write.parquet(str(d / "b1.parquet"))
+    run_once()
+    emitted = spark.read.parquet(out_dir).collect()
+    got = {r["fp"] for r in emitted}
+    expected = {r["fp"] for r in dedup_exact(first, "text", "doc_id").select("fp").collect()}
+    assert got == expected
+    assert len(emitted) == len(expected)  # duplicates were stateful-dropped

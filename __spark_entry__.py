@@ -337,6 +337,11 @@ def q_quality(spark, sf_dir):
     return tx.quality_score(docs, "text", ["doc_id"]).orderBy("doc_id")
 
 
+def q_token_counts(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tx.token_counts(docs, "text", ["doc_id"]).orderBy("doc_id")
+
+
 def q_lang_id(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return tx.lang_id(docs, "text", ["doc_id"]).select("doc_id", "lang_pred")
@@ -561,6 +566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "quality_score": q_quality,
         "lang_id": q_lang_id,
+        "token_counts": q_token_counts,
         "minhash_candidates": q_minhash_candidates,
         "simhash": q_simhash,
         "ngram_jaccard_verified": q_ngram_jaccard_verified,
@@ -650,6 +656,13 @@ def oracle_sql() -> dict[str, str]:
                    length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
                    len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
                                    x -> x IN ({STOPWORD_SQL}))) AS n_stopwords
+            FROM documents ORDER BY doc_id
+        """,
+        "token_counts": r"""
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_ws_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+')) AS n_bpe_tokens
             FROM documents ORDER BY doc_id
         """,
         "ann_cosine_topk": """

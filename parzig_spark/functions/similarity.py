@@ -163,7 +163,10 @@ def build_lsh_index(
     pruning). Build once, probe many — the index is never recomputed per
     query."""
     indexed = lsh_index(df, vec_col, key_col, n_planes, seed, dim)
-    indexed.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    # Co-locate each bucket in one task before the dynamic-partition write:
+    # one output file per bucket instead of (tasks × buckets) tiny files —
+    # both the build and every subsequent probe scan touch far fewer files.
+    indexed.repartition("bucket").write.mode("overwrite").partitionBy("bucket").parquet(path)
     return path
 
 

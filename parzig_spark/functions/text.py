@@ -55,6 +55,29 @@ def quality_score(df: DataFrame, text_col: str = "text", key_cols: list[str] | N
     )
 
 
+# BPE-ish pre-tokenizer classes (GPT-2 style without lookaheads, so Java
+# regex and RE2 tokenize identically): letter runs, single digits, symbol
+# runs. The classes are disjoint → unambiguous leftmost match in both
+# engines.
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+"
+
+
+def token_counts(df: DataFrame, text_col: str = "text", key_cols: list[str] | None = None) -> DataFrame:
+    """Whitespace tokens + BPE-ish regex tokens per document, both counted
+    JVM-side (regexp_count) — a cheap corpus-sizing pass for training-data
+    budgeting, DuckDB-oracleable."""
+    key_cols = key_cols or [df.columns[0]]
+    t = F.col(text_col)
+    ws = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(t), r"\s+"))
+    )
+    return df.select(
+        *key_cols,
+        ws.alias("n_ws_tokens"),
+        F.regexp_count(t, F.lit(BPE_TOKEN_PATTERN)).alias("n_bpe_tokens"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", key_cols: list[str] | None = None) -> DataFrame:
     """Document fingerprint: md5 of whitespace-normalized lowercase text.
 

@@ -64,6 +64,10 @@ def main() -> None:
         "embedding_near_dups",
         "roundtrip_documents",
         "roundtrip_lineitem_q1",
+        "roundtrip_decimal",
+        "token_counts",
+        "ngram_jaccard_pairs",
+        "ann_lsh_recall",
     )
     if "ann_lsh_topk" in query_list:
         # Build the materialized ANN index once (reported separately);

@@ -84,3 +84,49 @@ def test_structured_ints_selected_beats_plain(seed, run_len, card):
     chosen, _ = encode_column(arr, codec, outer=None)
     plain, _ = encode_column(arr, "plain", outer=None)
     assert len(chosen) <= len(plain) * 1.05
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    values=st.lists(
+        st.one_of(
+            st.decimals(
+                min_value=-(10**20), max_value=10**20, allow_nan=False, places=4
+            ),
+            st.none(),
+        ),
+        max_size=150,
+    )
+)
+def test_decimal_roundtrip_any(values):
+    arr = pa.array(values, pa.decimal128(30, 4))
+    blob, meta = encode_column(arr, "decimal")
+    assert decode_column(blob, meta).equals(arr)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    values=st.lists(st.binary(min_size=8, max_size=8), max_size=150),
+    codec=st.sampled_from(("plain", "dict", "delta_length")),
+)
+def test_fixed_binary_roundtrip_any(values, codec):
+    arr = pa.array(values, pa.binary(8))
+    blob, meta = encode_column(arr, codec)
+    out = decode_column(blob, meta)
+    assert out.equals(arr) and out.type == pa.binary(8)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    values=st.lists(
+        st.integers(min_value=0, max_value=2**16 - 1), max_size=200
+    ),
+    codec=st.sampled_from(("plain", "for", "rle", "dict")),
+)
+def test_float16_roundtrip_any(values, codec):
+    # arbitrary bit patterns incl. NaN/inf/denormal payloads — the codec
+    # path must be bit-exact regardless of float semantics
+    h = pa.array(np.array(values, dtype=np.uint16).view(np.float16))
+    blob, meta = encode_column(h, codec)
+    out = decode_column(blob, meta)
+    assert out.view(pa.uint16()).equals(h.view(pa.uint16()))

@@ -99,6 +99,86 @@ def extract_features(
     )
 
 
+def resize_image(blob: bytes, width: int, height: int, fake: bool = False) -> bytes:
+    """STUB: decode → resize → re-encode an image (PIL absent here).
+
+    With fake=True returns a deterministic byte-decimated surrogate of
+    exactly width*height bytes, so partitioning/batching around real
+    resizes is testable."""
+    if not fake:
+        raise NotImplementedError("image resize requires PIL, absent in this environment")
+    arr = np.frombuffer(blob or b"\x00", dtype=np.uint8)
+    n = width * height
+    idx = (np.arange(n, dtype=np.int64) * max(len(arr), 1)) // n
+    return arr[np.minimum(idx, len(arr) - 1)].tobytes()
+
+
+def resize_images(
+    df: DataFrame,
+    bin_col: str = "data",
+    key_cols: list[str] | None = None,
+    width: int = 32,
+    height: int = 32,
+    fake: bool = True,
+) -> DataFrame:
+    """mapInPandas image-resize plumbing: one row in → one (smaller) row
+    out, constant output size so downstream batch memory is predictable."""
+    key_cols = key_cols or [df.columns[0]]
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[key_cols].copy()
+            out["resized"] = [resize_image(b, width, height, fake=fake) for b in pdf[bin_col]]
+            yield out
+
+    key_schema = ", ".join(f"{c} {dict(df.dtypes)[c]}" for c in key_cols)
+    return df.select(*key_cols, bin_col).mapInPandas(
+        go, schema=f"{key_schema}, resized binary"
+    )
+
+
+def sample_frames(
+    df: DataFrame,
+    bin_col: str = "data",
+    key_cols: list[str] | None = None,
+    n_frames: int = 4,
+    frame_bytes: int = 256,
+    fake: bool = True,
+) -> DataFrame:
+    """Video frame-sampling plumbing: one row in → n_frames rows out
+    (1:N explode inside mapInPandas — the shape real ffmpeg sampling has).
+
+    STUB decode: with fake=True each "frame" is a deterministic contiguous
+    byte slice at evenly spaced offsets. At scale, repartition by size tier
+    first so one long video doesn't ride in a batch sized for clips."""
+    if not fake:
+        raise NotImplementedError("frame sampling requires ffmpeg, absent in this environment")
+    key_cols = key_cols or [df.columns[0]]
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keys = {c: [] for c in key_cols}
+            fidx, frames = [], []
+            for _, row in pdf.iterrows():
+                blob = row[bin_col] or b"\x00"
+                arr = np.frombuffer(blob, dtype=np.uint8)
+                for j in range(n_frames):
+                    off = (j * max(len(arr) - frame_bytes, 0)) // max(n_frames - 1, 1)
+                    for c in key_cols:
+                        keys[c].append(row[c])
+                    fidx.append(j)
+                    frames.append(arr[off : off + frame_bytes].tobytes())
+            out = pd.DataFrame(keys)
+            out["frame_idx"] = fidx
+            out["frame"] = frames
+            yield out
+
+    key_schema = ", ".join(f"{c} {dict(df.dtypes)[c]}" for c in key_cols)
+    return df.select(*key_cols, bin_col).mapInPandas(
+        go, schema=f"{key_schema}, frame_idx int, frame binary"
+    )
+
+
 def feature_scalars(
     df: DataFrame,
     bin_col: str = "data",

@@ -160,3 +160,30 @@ def test_lsh_index_partition_pruning_and_recall(spark, tmp_path):
     keys = [r["vec_id"] for r in got]
     assert 999 in keys, keys  # planted near-dup recalled
     assert keys[0] in (1, 999)  # query itself (vec_id=1) or its twin on top
+
+
+def test_multimodal_resize_and_frame_sample_plumbing(spark):
+    """Stubbed decode, REAL Spark plumbing: constant-size resize output and
+    1:N frame explode with deterministic content."""
+    from pyspark.sql import functions as F
+
+    from parzig_spark.functions import multimodal as mm
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    as_bin = docs.select("doc_id", F.encode("text", "utf-8").alias("data"))
+
+    resized = mm.resize_images(as_bin, "data", ["doc_id"], width=8, height=8).collect()
+    assert len(resized) == 50
+    assert all(len(r["resized"]) == 64 for r in resized)
+
+    frames = mm.sample_frames(as_bin, "data", ["doc_id"], n_frames=3, frame_bytes=64)
+    out = frames.collect()
+    assert len(out) == 150  # 1:N explode
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], set()).add(r["frame_idx"])
+    assert all(v == {0, 1, 2} for v in by_doc.values())
+    # determinism: same input → same frames
+    out2 = {(r["doc_id"], r["frame_idx"]): bytes(r["frame"]) for r in frames.collect()}
+    for r in out:
+        assert out2[(r["doc_id"], r["frame_idx"])] == bytes(r["frame"])

@@ -163,6 +163,21 @@ def prune_manifests(manifests: DataFrame, predicates) -> DataFrame:
     return manifests
 
 
+def register_store(
+    spark: SparkSession,
+    store_root: str,
+    name: str,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Expose a manifest store to Spark SQL as a temp view — the switch-over
+    surface for users of the reference's library API: after
+    ``register_store(spark, root, "t")``, plain ``spark.sql("SELECT ... FROM
+    t")`` runs over lazily decoded data with column pruning intact."""
+    df = decode_table(spark, store_root, columns)
+    df.createOrReplaceTempView(name)
+    return df
+
+
 def decode_table(
     spark: SparkSession,
     store_root: str,

@@ -276,3 +276,41 @@ def test_manifest_stats_prune_partitions(spark, tmp_path):
     ).first()
     assert got["n"] == 5000
     assert got["s"] == sum(3 * k for k in range(95_000, 100_000))
+
+
+def test_register_store_sql_and_verify_store(spark, tmp_path):
+    """SQL view over a store + at-rest integrity scrubber (detects a
+    corrupted blob byte)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from parzig_spark.operators import encode_table, register_store, verify_store
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    root = str(tmp_path / "sqlstore")
+    encode_table(
+        docs, root, group_cols=["lang", "source"], salt_cols=["doc_id"],
+        size_col="text", target_bytes=1 << 20, resume=False,
+    ).count()
+
+    register_store(spark, root, "docs_store")
+    got = spark.sql(
+        "SELECT lang, count(*) AS n FROM docs_store GROUP BY lang ORDER BY lang"
+    ).collect()
+    exp = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).orderBy("lang").collect()
+    assert [(r["lang"], r["n"]) for r in got] == [(r["lang"], r["n"]) for r in exp]
+
+    audit = verify_store(spark, root)
+    rows = audit.collect()
+    assert rows and all(r["ok"] for r in rows)
+
+    # flip one byte in one blob → exactly that (pid, column) flagged
+    blob_dir = os.path.join(root, "blobs")
+    pid = sorted(os.listdir(blob_dir))[0]
+    target = os.path.join(blob_dir, pid, "text.bin")
+    data = bytearray(open(target, "rb").read())
+    data[len(data) // 2] ^= 0xFF
+    open(target, "wb").write(bytes(data))
+    bad = [r for r in verify_store(spark, root).collect() if not r["ok"]]
+    assert len(bad) == 1 and bad[0]["column"] == "text" and str(bad[0]["pid"]) == pid

@@ -33,5 +33,5 @@ def decode(blob, meta: dict, n: int) -> pa.Array:
     planes = np.frombuffer(blob, dtype=np.uint8, count=n * width).reshape(width, n)
     phys = np.ascontiguousarray(planes.T).reshape(-1).view(dtypes.numpy_dtype(token))
     return pa.Array.from_buffers(
-        dtypes.arrow_type(token), n, [None, pa.py_buffer(phys.tobytes())]
+        dtypes.arrow_type(token), n, [None, pa.py_buffer(np.ascontiguousarray(phys))]
     )

@@ -90,7 +90,7 @@ def decimal_from_lanes(lo: np.ndarray, hi: np.ndarray, token: str) -> pa.Array:
     out[:, 0] = lo
     out[:, 1] = hi
     return pa.Array.from_buffers(
-        arrow_type(token), len(lo), [None, pa.py_buffer(out.tobytes())]
+        arrow_type(token), len(lo), [None, pa.py_buffer(out)]
     )
 
 
@@ -141,8 +141,10 @@ def from_int64_lane(values: np.ndarray, token: str) -> pa.Array:
         phys = values.astype(np_dtype.base if token != "bool" else "<u1", copy=False)
     if token == "bool":
         return pa.array(phys.astype(bool))
+    # zero-copy: py_buffer wraps the ndarray's buffer (and keeps it alive);
+    # .tobytes() here used to cost one full extra pass per decoded column
     return pa.Array.from_buffers(
-        arrow_type(token), len(values), [None, pa.py_buffer(np.ascontiguousarray(phys).tobytes())]
+        arrow_type(token), len(values), [None, pa.py_buffer(np.ascontiguousarray(phys))]
     )
 
 
@@ -175,6 +177,8 @@ def strings_from_buffers(lengths: np.ndarray, data: np.ndarray | bytes, token: s
     data_np = np.frombuffer(data, dtype=np.uint8) if not isinstance(data, np.ndarray) else data
     big = pa.large_string() if token in ("string", "large_string") else pa.large_binary()
     out = pa.Array.from_buffers(
-        big, n, [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data_np.tobytes())]
+        big,
+        n,
+        [None, pa.py_buffer(offsets), pa.py_buffer(np.ascontiguousarray(data_np))],
     )
     return out.cast(arrow_type(token))

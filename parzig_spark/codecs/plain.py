@@ -50,4 +50,6 @@ def decode(blob, meta: dict, n: int) -> pa.Array:
         return pa.array(bits.astype(bool))
     np_dtype = dtypes.numpy_dtype(token)
     values = np.frombuffer(blob, dtype=np_dtype, count=n)
-    return pa.Array.from_buffers(dtypes.arrow_type(token), n, [None, pa.py_buffer(values.tobytes())])
+    return pa.Array.from_buffers(
+        dtypes.arrow_type(token), n, [None, pa.py_buffer(np.ascontiguousarray(values))]
+    )

@@ -145,12 +145,22 @@ def minhash_signatures(
             sig_mat = np.empty((n_hashes, n_docs), dtype=np.uint64)
             # One universal-hash pass + segment-min per hash function over
             # the WHOLE batch (np.minimum.reduceat) — no per-document loop.
+            # Mersenne-prime reduction by fold (two shift-adds) instead of
+            # u64 %, which numpy lowers to hardware division (~5× slower);
+            # the fold is a deterministic congruent representative — all we
+            # need for consistent minima.
+            M = np.uint64(_MERSENNE)
+            s61 = np.uint64(61)
             for i in range(n_hashes):
-                g = (a[i] * h + b[i]) % np.uint64(_MERSENNE)
+                g = a[i] * h + b[i]  # u64 wrap (our documented hash domain)
+                g = (g & M) + (g >> s61)
+                g = (g & M) + (g >> s61)
                 if ne_starts.size:
                     sig_mat[i, nonempty] = np.minimum.reduceat(g, ne_starts)
                 # docs shorter than k hash the single sentinel shingle 0
-                sig_mat[i, ~nonempty] = b[i] % np.uint64(_MERSENNE)
+                z = b[i]
+                z = (z & M) + (z >> s61)
+                sig_mat[i, ~nonempty] = (z & M) + (z >> s61)
             sigs = sig_mat.T.astype(np.int64).tolist()
             yield pd.DataFrame({key_col: pdf[key_col], "signature": sigs})
 

@@ -314,3 +314,31 @@ def test_register_store_sql_and_verify_store(spark, tmp_path):
     open(target, "wb").write(bytes(data))
     bad = [r for r in verify_store(spark, root).collect() if not r["ok"]]
     assert len(bad) == 1 and bad[0]["column"] == "text" and str(bad[0]["pid"]) == pid
+
+
+def test_plan_partitions_distributed_path_identical_pids(spark):
+    """pid derivation is a pure data function: the distributed-join planning
+    path (group count above the broadcast limit) must assign EXACTLY the
+    same pids as the broadcast path — resume on a bigger cluster depends on
+    it."""
+    from pyspark.sql import functions as F
+
+    from parzig_spark.operators.encode import plan_partitions
+
+    df = spark.range(0, 20_000).select(
+        (F.col("id") % 37).cast("string").alias("grp"),
+        F.col("id").alias("k"),
+        F.repeat(F.lit("x"), 200).alias("payload"),
+    )
+    via_broadcast, nb1 = plan_partitions(
+        df, ["grp"], ["k"], target_bytes=256 << 10, size_col="payload",
+        broadcast_group_limit=65536,
+    )
+    via_join, nb2 = plan_partitions(
+        df, ["grp"], ["k"], target_bytes=256 << 10, size_col="payload",
+        broadcast_group_limit=4,  # force the distributed path (37 groups > 4)
+    )
+    assert nb1 == nb2
+    a = {r["k"]: r["pid"] for r in via_broadcast.select("k", "pid").collect()}
+    b = {r["k"]: r["pid"] for r in via_join.select("k", "pid").collect()}
+    assert a == b

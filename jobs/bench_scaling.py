@@ -28,6 +28,11 @@ def run_bench(cpus: int, rows: int, sf_dir: str) -> dict:
         SPARK_GRAFT_SF_DIR=sf_dir,
         SPARK_GRAFT_BENCH_QUERIES="corpus_only",
     )
+    if os.environ.get("SPARK_GRAFT_SCALING_MODE") == "cluster":
+        # multi-PROCESS executors (2 cores each): N cores → N/2 executors.
+        # The literal "N and 4N executors" shape of the north rule.
+        env["SPARK_GRAFT_MASTER"] = f"local-cluster[{max(1, cpus // 2)},2,14336]"
+        env.setdefault("SPARK_GRAFT_EXECUTOR_MEM", "12g")
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         capture_output=True,

@@ -172,6 +172,122 @@ def _lang_id_sql() -> str:
     """
 
 
+def _simhash_sql(k: int = 4) -> str:
+    """Exact SQL twin of ded.simhash (shingle_k=4): base-31 polynomial hash
+    of each k-byte window (corpus is ASCII, so ord(substr) == byte), spread
+    by the same 64-bit odd multiplier mod 2^64 (HUGEINT arithmetic), then
+    per-bit majority vote and little-endian repack. Docs shorter than k use
+    the sentinel single shingle 0 -> all votes 2*0-1 < 0 -> simhash 0,
+    reproduced by the COALESCE."""
+    mult = 0x9E3779B97F4A7C15
+    two64 = 1 << 64
+    shingle_terms = " + ".join(
+        f"ord(substr(text, i + {j}, 1)) * {31**j}" for j in range(k)
+    )
+    bit_sums = ",\n                 ".join(
+        f"SUM(CAST((h >> {b}) & 1 AS BIGINT)) AS v{b}" for b in range(64)
+    )
+    word_terms = " + ".join(
+        f"(CASE WHEN 2 * v{b} > n THEN CAST({1 << b} AS HUGEINT) ELSE 0 END)"
+        for b in range(64)
+    )
+    return f"""
+        WITH sh AS (
+          SELECT doc_id,
+                 CAST(CAST(({shingle_terms}) AS HUGEINT) * {mult} % {two64} AS UBIGINT) AS h
+          FROM documents, unnest(range(1, length(text) - {k} + 2)) AS t(i)
+          WHERE length(text) >= {k}
+        ), votes AS (
+          SELECT doc_id, COUNT(*) AS n,
+                 {bit_sums}
+          FROM sh GROUP BY doc_id
+        ), words AS (
+          SELECT doc_id, ({word_terms}) AS w FROM votes
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(CASE WHEN w.w >= CAST({1 << 63} AS HUGEINT) THEN w.w - CAST({two64} AS HUGEINT) ELSE w.w END, 0) AS BIGINT) AS simhash
+        FROM documents d LEFT JOIN words w USING (doc_id)
+        ORDER BY d.doc_id
+    """
+
+
+def _minhash_lsh_ctes(k: int = 5, n_hashes: int = 64, bands: int = 16, cap: int = 256) -> str:
+    """Shared CTE chain reproducing ded.minhash_lsh_candidates in DuckDB:
+    base-31 polynomial shingle hashes (ASCII corpus: ord(substr) == byte;
+    docs shorter than k get the sentinel shingle 0), the same 64 universal
+    hash functions a_i*h+b_i mod 2^64 with two Mersenne-2^61 folds (the a/b
+    constants come from the identical seeded RNG the kernel uses), per-doc
+    per-hash minima, 4-value band tuples (tuple equality stands in for the
+    Spark side's xxhash64 of the tuple), and the deterministic row_number
+    bucket cap. Ends with `capped` — callers join it to themselves."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    a = rng.integers(1, ded._MERSENNE, n_hashes, dtype=np.uint64)
+    b = rng.integers(0, ded._MERSENNE, n_hashes, dtype=np.uint64)
+    rpb = n_hashes // bands
+    two64 = 1 << 64
+    p61 = 1 << 61
+    ab_rows = ",".join(f"({i},{int(a[i])},{int(b[i])})" for i in range(n_hashes))
+    poly = " + ".join(f"ord(substr(text, i + {j}, 1)) * {31**j}" for j in range(k))
+    return f"""
+        ab(i, a, b) AS (VALUES {ab_rows}),
+        sh AS (
+          SELECT doc_id, CAST(({poly}) AS HUGEINT) AS h
+          FROM documents, unnest(range(1, length(text) - {k} + 2)) AS t(i)
+          WHERE length(text) >= {k}
+          UNION ALL
+          SELECT doc_id, CAST(0 AS HUGEINT) AS h FROM documents WHERE length(text) < {k}
+        ),
+        g0 AS (SELECT doc_id, i, (a * h + b) % {two64} AS g FROM sh CROSS JOIN ab),
+        g1 AS (SELECT doc_id, i, g % {p61} + g // {p61} AS g FROM g0),
+        g2 AS (SELECT doc_id, i, g % {p61} + g // {p61} AS g FROM g1),
+        sig AS (SELECT doc_id, i, CAST(MIN(g) AS BIGINT) AS s FROM g2 GROUP BY doc_id, i),
+        band AS (SELECT doc_id, i // {rpb} AS band, LIST(s ORDER BY i) AS tup
+                 FROM sig GROUP BY doc_id, i // {rpb}),
+        capped AS (SELECT doc_id, band, tup,
+                          ROW_NUMBER() OVER (PARTITION BY band, tup ORDER BY doc_id) AS rn
+                   FROM band)"""
+
+
+def _minhash_candidates_sql(cap: int = 256, min_bands: int = 2) -> str:
+    """SQL twin of q_minhash_candidates (pairs sharing >= min_bands bands)."""
+    return f"""
+        WITH {_minhash_lsh_ctes()}
+        SELECT x.doc_id AS key_a, y.doc_id AS key_b, COUNT(*) AS n_shared_bands
+        FROM capped x JOIN capped y
+          ON x.band = y.band AND x.tup = y.tup AND x.doc_id < y.doc_id
+        WHERE x.rn <= {cap} AND y.rn <= {cap}
+        GROUP BY 1, 2 HAVING COUNT(*) >= {min_bands}
+        ORDER BY 1, 2
+    """
+
+
+def _ngram_jaccard_verified_sql(cap: int = 256, threshold: float = 0.8) -> str:
+    """SQL twin of q_ngram_jaccard_verified: LSH candidate pairs (>=1 shared
+    band) verified by exact Jaccard over each doc's DISTINCT shingle-hash
+    set — the hash-set semantics the kernel uses (np.unique + intersect1d),
+    not raw-substring sets, so collisions reproduce identically."""
+    jac = (
+        "len(list_intersect(p.hset, q.hset)) * 1.0 / "
+        "(len(p.hset) + len(q.hset) - len(list_intersect(p.hset, q.hset)))"
+    )
+    return f"""
+        WITH {_minhash_lsh_ctes()},
+        cand AS (
+          SELECT DISTINCT x.doc_id AS key_a, y.doc_id AS key_b
+          FROM capped x JOIN capped y
+            ON x.band = y.band AND x.tup = y.tup AND x.doc_id < y.doc_id
+          WHERE x.rn <= {cap} AND y.rn <= {cap}
+        ),
+        hs AS (SELECT doc_id, LIST(DISTINCT CAST(h AS BIGINT)) AS hset FROM sh GROUP BY doc_id)
+        SELECT c.key_a, c.key_b, {jac} AS jaccard
+        FROM cand c JOIN hs p ON p.doc_id = c.key_a JOIN hs q ON q.doc_id = c.key_b
+        WHERE {jac} >= {threshold}
+        ORDER BY 1, 2
+    """
+
+
 def _roundtrip(spark: SparkSession, sf_dir: str, table: str, group_cols, salt_cols, size_col=None) -> DataFrame:
     """Encode a testdata table into a fresh store, decode it back."""
     src = spark.read.parquet(f"{sf_dir}/{table}.parquet")
@@ -674,6 +790,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "multimodal_features": _multimodal_features_sql(),
         "lang_id": _lang_id_sql(),
+        "simhash": _simhash_sql(),
+        "minhash_candidates": _minhash_candidates_sql(),
+        "ngram_jaccard_verified": _ngram_jaccard_verified_sql(),
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_lsh_recall": _ann_recall_sql(),
         "embedding_near_dups": _embedding_near_dups_sql(),

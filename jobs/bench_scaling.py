@@ -91,9 +91,11 @@ def main() -> None:
     if 2 in results and 8 in results:
         results[8]["pair_eff_2_8"] = pair_eff
     if 32 not in results:
+        mode = "_cluster" if os.environ.get("SPARK_GRAFT_SCALING_MODE") == "cluster" else ""
         print("pair-only run; per-rep 2→8 efficiencies:", json.dumps(pair_eff))
         for cpus, r in results.items():
-            with open(os.path.join(REPO, "BENCH", f"scaling_pair_local{cpus}.json"), "w") as f:
+            path = os.path.join(REPO, "BENCH", f"scaling_pair_local{cpus}{mode}.json")
+            with open(path, "w") as f:
                 json.dump(r, f, indent=2)
         return
 

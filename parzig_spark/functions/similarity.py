@@ -80,14 +80,22 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
 def bucket_expr(vec_col: str, planes: np.ndarray):
     """Catalyst LSH bucket id: bit i set iff dot(vec, plane_i) > 0.
 
-    Left-associated double sums — bit-reproducible in SQL or Python.
-    """
+    Left-associated double sums — bit-reproducible in SQL or Python. The
+    dot is one ``aggregate(zip_with(...))`` higher-order expression per
+    plane (a tight fold the evaluator runs per row) instead of a
+    planes×dim ``element_at`` chain, whose O(10^3)-node tree blew past the
+    codegen method limit and fell back to per-node interpreted eval. The
+    fold seeds with 0.0, and ``0.0 + t0 == t0`` for every IEEE double
+    except a zero-sign flip, which ``dot > 0`` cannot observe — so bucket
+    ids (and the SQL oracle twins) are unchanged."""
     total = None
     for i, row in enumerate(planes):
-        dot = None
-        for j, w in enumerate(row):
-            term = F.element_at(F.col(vec_col), j + 1).cast("double") * F.lit(float(w))
-            dot = term if dot is None else dot + term
+        weights = F.array(*[F.lit(float(w)) for w in row])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), weights, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
         bit = F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
         total = bit if total is None else total + bit
     return total.cast("long")

@@ -165,7 +165,15 @@ def minhash_signatures(
             yield pd.DataFrame({key_col: pdf[key_col], "signature": sigs})
 
     key_type = dict(df.dtypes)[key_col]
-    return df.select(key_col, text_col).mapInPandas(
+    sel = df.select(key_col, text_col)
+    # The signature kernel is the heavy stage (n_hashes passes over every
+    # shingle); a small input that arrives as one or two file-splits would
+    # pin it to as many tasks. Fan out to the cluster's parallelism — a
+    # no-op at real scale where the scan already has >= that many splits.
+    default_par = df.sparkSession.sparkContext.defaultParallelism
+    if sel.rdd.getNumPartitions() < default_par:
+        sel = sel.repartition(default_par)
+    return sel.mapInPandas(
         sig, schema=f"{key_col} {key_type}, signature array<long>"
     )
 

@@ -45,3 +45,42 @@ def test_encode_then_decode_cli(tmp_path):
     out = str(tmp_path / "decoded.parquet")
     dec = _run(["jobs/decode_job.py", "--store", store, "--out", out])
     assert dec["rows"] == 2000 and dec["out"] == out
+
+
+def test_spark_submit_pyfiles_deploy(tmp_path):
+    """The north rule's deployment shape, end to end: package the library
+    with jobs/package_pyfiles.sh and run the encode job via real
+    spark-submit --py-files from a cwd where ``parzig_spark`` is NOT
+    importable except through the shipped zip — catching any module the
+    packaging script misses."""
+    import shutil
+
+    subprocess.run(
+        ["bash", "jobs/package_pyfiles.sh"], check=True, cwd=REPO, capture_output=True
+    )
+    job = shutil.copy(
+        os.path.join(REPO, "jobs", "encode_job.py"), tmp_path / "encode_job.py"
+    )
+    store = str(tmp_path / "store")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    env.pop("PYTHONPATH", None)
+    out = subprocess.run(
+        [
+            "/opt/spark/bin/spark-submit",
+            "--master", "local[4]",
+            "--py-files", os.path.join(REPO, "parzig_spark.zip"),
+            str(job),
+            "--synthetic-rows", "1000",
+            "--store", store,
+            "--target-mb", "4",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=280,
+        env=env,
+        cwd=str(tmp_path),
+        check=True,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    rep = json.loads(line)
+    assert rep["rows"] == 1000 and rep["partitions_encoded"] >= 1

@@ -342,3 +342,32 @@ def test_plan_partitions_distributed_path_identical_pids(spark):
     a = {r["k"]: r["pid"] for r in via_broadcast.select("k", "pid").collect()}
     b = {r["k"]: r["pid"] for r in via_join.select("k", "pid").collect()}
     assert a == b
+
+
+def test_blobs_byte_identical_across_parallelism(spark, corpus, tmp_path):
+    """The resume/retry contract's strongest form: encoding the same table
+    with different task counts (different shuffle layouts and Arrow batch
+    boundaries) must produce byte-identical blobs per (pid, column) —
+    because pids, in-bucket order, and codec choices are pure functions of
+    the data, never of the cluster shape."""
+    import hashlib
+
+    roots = {}
+    for np_part in (3, 13):
+        root = str(tmp_path / f"store_{np_part}")
+        _encode(spark, corpus, root, num_partitions=np_part)
+        roots[np_part] = root
+
+    def blob_map(root):
+        out = {}
+        store = ManifestStore(root)
+        blob_dir = store.blob_dir
+        for pid in sorted(os.listdir(blob_dir)):
+            for fname in sorted(os.listdir(os.path.join(blob_dir, pid))):
+                with open(os.path.join(blob_dir, pid, fname), "rb") as f:
+                    out[(pid, fname)] = hashlib.sha256(f.read()).hexdigest()
+        return out
+
+    a, b = blob_map(roots[3]), blob_map(roots[13])
+    assert a, "no blobs written"
+    assert a == b

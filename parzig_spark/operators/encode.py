@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import threading
 import time
 import numpy as np
 import pyarrow as pa
@@ -264,16 +265,38 @@ def encode_table(
             "columns": list(df.columns),
         }
     )
+    # Overlap the two O(1) planning actions: the codec-plan sample job runs
+    # on a helper thread while the driver blocks on the sizing aggregation
+    # inside plan_partitions (Spark schedules concurrent jobs from separate
+    # threads). Actions on this host cost ~1-3 s each in fixed latency, so
+    # hiding one behind the other cuts plan wall nearly in half; at real
+    # input sizes both remain constant-cost noise.
+    sample_box: dict[str, object] = {}
+    sample_thread = None
+    if plan_sample_rows > 0:
+        def _take_sample():
+            try:
+                sample_box["table"] = df.limit(plan_sample_rows).toArrow()
+            except Exception as exc:  # surface on join, never kill the thread
+                sample_box["error"] = exc
+
+        sample_thread = threading.Thread(target=_take_sample, daemon=True)
+        sample_thread.start()
+
     with_pid, n_buckets = plan_partitions(
         df, group_cols, salt_cols, target_bytes, size_col, pid_namespace=pid_namespace
     )
 
     codec_plan: dict[str, str] = {}
     plan_lineage: dict[str, str] = {}
-    # Single-bucket tables choose once in-task anyway; the sampling job only
+    # Single-bucket tables choose once in-task anyway; the sampled plan only
     # pays for itself when it replaces many per-bucket selector runs.
+    if sample_thread is not None:
+        sample_thread.join()
     if plan_sample_rows > 0 and n_buckets > 1:
-        sample = df.limit(plan_sample_rows).toArrow()
+        if "error" in sample_box:
+            raise sample_box["error"]
+        sample = sample_box["table"]
         if sample.num_rows:
             for column in df.columns:
                 try:

@@ -34,6 +34,7 @@ _TOKEN_TABLE: dict[str, tuple[pa.DataType, np.dtype | None]] = {
     "timestamp[ns]": (pa.timestamp("ns"), np.dtype("<i8")),
     "time32[ms]": (pa.time32("ms"), np.dtype("<i4")),
     "time64[us]": (pa.time64("us"), np.dtype("<i8")),
+    "time64[ns]": (pa.time64("ns"), np.dtype("<i8")),
     "string": (pa.string(), None),
     "large_string": (pa.large_string(), None),
     "binary": (pa.binary(), None),

@@ -39,6 +39,7 @@ _TOKEN_TO_SPARK = {
     "date64": "date",
     "time32[ms]": "int",
     "time64[us]": "long",
+    "time64[ns]": "long",
     "timestamp[us]": "timestamp",
     "timestamp[ns]": "timestamp",
     "timestamp[ms]": "timestamp",
@@ -63,6 +64,7 @@ _TOKEN_CAST = {
     "date64": pa.date32(),
     "time32[ms]": pa.int32(),
     "time64[us]": pa.int64(),
+    "time64[ns]": pa.int64(),
     "timestamp[s]": pa.timestamp("us"),
     "timestamp[ms]": pa.timestamp("us"),
     "timestamp[ns]": pa.timestamp("us"),

@@ -59,3 +59,28 @@ def test_reference_fixture_roundtrip_and_budget(path):
             f"{path}:{name}: ours {ours} > reference {ref} "
             f"(codec {codec}, fixture compression {compression})"
         )
+
+
+SNAPPY_GOLDEN = os.path.join(FIXTURE_DIR, "compress", "snappy", "Isaac.Newton-Opticks.txt")
+
+
+@pytest.mark.skipif(not os.path.exists(SNAPPY_GOLDEN), reason="snappy golden absent")
+def test_snappy_golden_pair_conformance():
+    """The exact golden pair the reference's snappy decoder is tested
+    against (/root/reference/src/compress/snappy.zig:219-327, borrowed from
+    golang/snappy): the committed .rawsnappy bytes must decompress to the
+    committed plaintext through the snappy codec our outer layer exposes,
+    and our own snappy outer round-trips the same plaintext through
+    encode_column/decode_column."""
+    import pyarrow as pa
+
+    with open(SNAPPY_GOLDEN, "rb") as f:
+        txt = f.read()
+    with open(SNAPPY_GOLDEN + ".rawsnappy", "rb") as f:
+        raw = f.read()
+    assert pa.Codec("snappy").decompress(raw, decompressed_size=len(txt), asbytes=True) == txt
+
+    col = pa.array([txt.decode("latin-1")])
+    blob, meta = encode_column(col, "plain", outer="snappy")
+    assert meta.get("outer", {}).get("codec") == "snappy"
+    assert decode_column(blob, meta).cast(col.type).equals(col)

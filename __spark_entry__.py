@@ -353,6 +353,37 @@ def q_roundtrip_orders(spark, sf_dir):
     )
 
 
+def q_roundtrip_pruned(spark, sf_dir):
+    """Predicate-pruned decode, oracle-gated: encode orders into many
+    byte-bounded buckets, decode with a manifest min/max partition
+    predicate, then apply the row filter. The hash between manifests'
+    stat_min/stat_max and the final aggregate proves partition pruning
+    never drops a qualifying row (over-pruning would hash-mismatch)."""
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "okey_band", (F.col("o_orderkey") / 8192).cast("int")
+    )
+    root = tempfile.mkdtemp(prefix="parzig_pruned_")
+    encode_table(
+        src,
+        root,
+        group_cols=["okey_band"],
+        salt_cols=["o_orderkey"],
+        target_bytes=128 << 10,
+        resume=False,
+    ).count()
+    dec = decode_table(spark, root, predicates=[("o_orderkey", "<=", 2000)])
+    return (
+        dec.filter(F.col("o_orderkey") <= 2000)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").alias("sum_key"),
+            F.sum(_floor_cents(F.col("o_totalprice"))).alias("sum_price_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def q_roundtrip_events_window(spark, sf_dir):
     dec = _roundtrip(spark, sf_dir, "events", ["event_type"], ["event_id"])
     return (
@@ -673,6 +704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_documents": q_roundtrip_documents,
         "roundtrip_lineitem_q1": q_roundtrip_lineitem_q1,
         "roundtrip_orders": q_roundtrip_orders,
+        "roundtrip_pruned": q_roundtrip_pruned,
         "roundtrip_events_window": q_roundtrip_events_window,
         "compression_summary": q_compression_summary,
         "tpch_q1": q_tpch_q1,
@@ -716,6 +748,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_cents
             FROM lineitem GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
+        """,
+        "roundtrip_pruned": """
+            SELECT o_orderpriority, count(*) AS n_orders,
+                   CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+                   CAST(sum(CAST(floor(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents
+            FROM orders WHERE o_orderkey <= 2000
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
         "roundtrip_orders": """
             SELECT o_orderpriority, count(*) AS n_orders, CAST(sum(o_orderkey) AS BIGINT) AS sum_key,

@@ -99,6 +99,15 @@ def main() -> None:
                 json.dump(r, f, indent=2)
         return
 
+    if not {2, 8}.issubset(results):
+        # the BASELINE.md template needs the full 2/8/32 triple; don't lose
+        # an exotic-size measurement session to a KeyError after the reps
+        for cpus, r in results.items():
+            with open(os.path.join(REPO, "BENCH", f"scaling_local{cpus}.json"), "w") as f:
+                json.dump(r, f, indent=2)
+        print("partial size set; wrote raw JSON only:", sorted(results))
+        return
+
     def eff(lo, hi, key):
         return (results[hi][key] / results[lo][key]) / 4
 

@@ -194,7 +194,10 @@ def encode_column(
         meta["lo_meta"] = lo_meta
         meta["hi_meta"] = hi_meta
         meta["sections"] = [len(lo_blob), len(hi_blob)]
-        return validity_blob + lo_blob + hi_blob, meta
+        # the two FOR lanes (near-constant hi, block headers in lo) compress
+        # well — same outer pass every scalar codec gets
+        payload = _outer_compress(lo_blob + hi_blob, meta, outer)
+        return validity_blob + payload, meta
     n = len(arr)
     meta = {"codec": codec, "n": n}
     validity_blob = b""
@@ -219,6 +222,13 @@ def encode_column(
         arr = arr.view(pa.uint16())
     payload, cmeta = _ENCODERS[codec](arr)
     meta["codec_meta"] = cmeta
+    payload = _outer_compress(payload, meta, outer)
+    return validity_blob + payload, meta
+
+
+def _outer_compress(payload: bytes, meta: dict, outer) -> bytes:
+    """Optionally wrap ``payload`` with a block codec, recording the choice
+    in ``meta["outer"]`` (kept only when it shrinks)."""
     if outer == "auto" and len(payload) > 64:
         # Per-blob dispatch between zstd (denser) and lz4 (~5× faster), the
         # role of the reference's per-page codec switch
@@ -238,7 +248,7 @@ def encode_column(
         if len(compressed) < OUTER_KEEP_RATIO * len(payload):
             meta["outer"] = {"codec": outer, "orig": len(payload)}
             payload = compressed
-    return validity_blob + payload, meta
+    return payload
 
 
 def decode_column(blob, meta: dict) -> pa.Array:
@@ -290,6 +300,12 @@ def decode_column(blob, meta: dict) -> pa.Array:
         idx[valid] = np.arange(n_valid)
         return values.take(pa.array(idx, type=pa.int64(), mask=~valid))
     if meta["codec"] == "decimal":
+        if "outer" in meta:
+            mv = memoryview(
+                pa.Codec(meta["outer"]["codec"]).decompress(
+                    mv, decompressed_size=meta["outer"]["orig"], asbytes=True
+                )
+            )
         s0, _ = meta["sections"]
         lo = delta_for.decode(mv[:s0], meta["lo_meta"], n_valid).to_numpy(zero_copy_only=False)
         hi = delta_for.decode(mv[s0:], meta["hi_meta"], n_valid).to_numpy(zero_copy_only=False)

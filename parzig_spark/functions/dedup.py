@@ -330,6 +330,10 @@ def embedding_near_dups(
     bucketed = lsh_index(df, vec_col, key_col, n_planes, seed, dim).withColumn("_norm", norm)
     left = bucketed.alias("l")
     right = bucketed.alias("r")
+    # nullif guards the zero-vector pair: 0/0 would be NaN, and Spark
+    # orders NaN above every number, so `NaN >= threshold` would emit
+    # spurious pairs. A null cosine fails the filter instead (and the
+    # DuckDB oracle twin uses the same nullif).
     cos = F.round(
         F.aggregate(
             F.zip_with(
@@ -339,7 +343,7 @@ def embedding_near_dups(
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        / (F.col("l._norm") * F.col("r._norm")),
+        / F.nullif(F.col("l._norm") * F.col("r._norm"), F.lit(0.0)),
         6,
     )
     return (

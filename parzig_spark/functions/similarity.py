@@ -208,8 +208,9 @@ def lsh_topk(
     dim = len(query_vec)
     planes = hyperplanes(dim, n_planes, seed)
     probes = probe_buckets(query_vec, planes, radius)
+    vec_type = dict(indexed.dtypes)[vec_col]  # match the data's precision
     qdf = indexed.sparkSession.createDataFrame(
-        [(list(map(float, query_vec)),)], f"_q array<float>"
+        [(list(map(float, query_vec)),)], f"_q {vec_type}"
     )
     candidates = indexed.filter(F.col("bucket").isin(probes))
     scored = candidates.crossJoin(F.broadcast(qdf)).select(

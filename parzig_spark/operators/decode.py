@@ -199,6 +199,7 @@ def decode_table(
     callers still apply the row-level filter on the result.
     """
     store = ManifestStore(store_root)
+    store.check_format()
     cols, ddl, casts = decoded_schema(store, columns)
     snap = store.fresh_snapshot()
     manifests = spark.read.parquet(snap).select(

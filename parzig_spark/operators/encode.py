@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..codecs import dtypes, encode_column
-from ..plans.manifest import ManifestStore
+from ..plans.manifest import FORMAT_VERSION, ManifestStore
 from ..selector import choose_codec
 
 SUMMARY_SCHEMA = (
@@ -178,12 +178,18 @@ def plan_partitions(
     # rows means the group count is unbounded → switch to the fully
     # distributed path (persisted salt table + executor-side join + 1-row
     # totals action) so the driver never materializes millions of groups.
-    sizes = sizes.persist()  # both paths reuse the one sizing scan
+    sizes = sizes.persist()  # both planning actions reuse the one sizing scan
     size_rows = sizes.limit(broadcast_group_limit + 1).collect()
     distributed = len(size_rows) > broadcast_group_limit
     if distributed:
         totals = sizes.agg(F.sum("_grp_bytes").alias("_total")).first()
         total_bytes = int(totals["_total"] or 0)
+        # Unpersist before the (lazy) join below: the encode job recomputes
+        # the sizing aggregation once more during its shuffle, which costs
+        # one extra column-pruned scan in this rare >65k-groups path but
+        # never leaks a groups-sized cached table into session storage for
+        # the lifetime of a long-running (e.g. streaming) driver.
+        sizes.unpersist()
     else:
         total_bytes = sum(r["_grp_bytes"] or 0 for r in size_rows)
         sizes.unpersist()
@@ -257,6 +263,7 @@ def encode_table(
     store = ManifestStore(store_root)
     store.ensure_config(
         {
+            "format": FORMAT_VERSION,
             "group_cols": group_cols,
             "salt_cols": salt_cols,
             "sort_cols": sort_cols,

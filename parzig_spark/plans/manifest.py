@@ -54,6 +54,14 @@ MANIFEST_SCHEMA = pa.schema(
 )
 
 
+# Bump whenever blob layouts or the manifest schema change incompatibly
+# (v2: sectioned RLE/delta headers, stat_min/stat_max manifest columns,
+# leveled zstd outer). ensure_config embeds it in the store identity, so a
+# resume against an older store fails loudly instead of mixing formats;
+# check_format gives decoders the same loud failure.
+FORMAT_VERSION = 2
+
+
 class ManifestStore:
     def __init__(self, root: str):
         self.root = root
@@ -84,6 +92,22 @@ class ManifestStore:
         with open(tmp, "w") as f:
             json.dump(config, f, sort_keys=True)
         os.replace(tmp, path)
+
+    def check_format(self) -> None:
+        """Fail loudly when the store was written by an incompatible engine
+        version (or isn't one of our stores at all) instead of mis-parsing
+        its blobs/manifests downstream."""
+        path = os.path.join(self.root, "store_config.json")
+        if not os.path.exists(path):
+            raise ValueError(f"{self.root}: no store_config.json — not an encoded store")
+        with open(path) as f:
+            config = json.load(f)
+        found = config.get("format")
+        if found != FORMAT_VERSION:
+            raise ValueError(
+                f"{self.root}: store format {found!r} != engine format "
+                f"{FORMAT_VERSION} — re-encode with this engine version"
+            )
 
     # -- commit protocol ----------------------------------------------------
     def _marker_path(self, pid: int) -> str:

@@ -15,6 +15,8 @@ engine's stateful unit is the manifest store itself).
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -35,7 +37,8 @@ def encode_stream(
     """readStream source → incremental encode via foreachBatch.
 
     Cross-batch pid safety: partition ids are namespaced per micro-batch by
-    an order-independent content fingerprint (XOR of per-row xxhash64), so a
+    an order-independent, multiplicity-sensitive content fingerprint
+    (XOR + bounded sum + count of per-row xxhash64, sha256-folded), so a
     later batch can never alias a committed pid and be silently anti-joined
     away — while an identical *replayed* batch (crash recovery) recomputes
     the same fingerprint and correctly skips its committed partitions.
@@ -44,13 +47,28 @@ def encode_stream(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        hash_cols = [
-            c for c, t in batch_df.dtypes if not t.startswith("map")
-        ]  # xxhash64 covers everything testdata-shaped except maps
+        # Multiset-sensitive fingerprint: XOR alone is multiplicity-blind
+        # (x^x = 0 — a batch differing from a committed one only by an even
+        # number of repeated rows would alias it and be anti-joined away).
+        # XOR + a bounded wrapping SUM of the row hashes + COUNT pins the
+        # multiset; maps are folded in via to_json (xxhash64 cannot hash
+        # them directly, and a replayed batch re-reads the same source so
+        # its serialized form is stable).
+        row_hash = F.xxhash64(
+            *[
+                F.to_json(F.col(c)) if t.startswith("map") else F.col(c)
+                for c, t in batch_df.dtypes
+            ]
+        )
         fp_row = batch_df.select(
-            F.bit_xor(F.xxhash64(*[F.col(c) for c in hash_cols])).alias("fp")
+            F.bit_xor(row_hash).alias("x"),
+            F.sum(F.pmod(row_hash, F.lit(1 << 28))).alias("s"),
+            F.count(F.lit(1)).alias("c"),
         ).first()
-        batch_fp = int(fp_row["fp"] or 0)
+        digest = hashlib.sha256(
+            f"{fp_row['x']},{fp_row['s']},{fp_row['c']}".encode()
+        ).digest()
+        batch_fp = int.from_bytes(digest[:5], "big")  # 39-bit pid namespace
         encode_table(
             batch_df,
             store_root,

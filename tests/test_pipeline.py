@@ -159,6 +159,9 @@ def test_decode_table_widens_arrow_only_types(spark, tmp_path):
 
     root = str(tmp_path / "arrowstore")
     store = ManifestStore(root)
+    from parzig_spark.plans.manifest import FORMAT_VERSION
+
+    store.ensure_config({"format": FORMAT_VERSION, "writer": "arrow-side-test"})
     cols = {
         "u8": (pa.array([0, 255, 7], pa.uint8()), "for"),
         "u32": (pa.array([0, 2**32 - 1, 123], pa.uint32()), "for"),

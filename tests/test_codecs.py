@@ -300,3 +300,17 @@ def test_outer_auto_prefers_zstd_on_compressible_text():
     blob, meta = encode_column(arr, "delta_length", outer="auto")
     assert decode_column(blob, meta).equals(arr)
     assert "outer" in meta
+
+
+def test_decimal_blob_gets_outer_compression():
+    """Regression: the decimal branch used to return its FOR lanes raw,
+    skipping the outer block-codec pass every other scalar codec gets."""
+    import decimal as _d
+
+    vals = [_d.Decimal(f"{i % 7}.25") for i in range(5000)]
+    arr = pa.array(vals, pa.decimal128(15, 2))
+    blob, meta = encode_column(arr, "decimal", outer="auto")
+    assert meta.get("outer", {}).get("codec") in ("zstd", "lz4")
+    assert decode_column(blob, meta).equals(arr)
+    # the near-constant lanes must actually shrink
+    assert len(blob) < arr.nbytes / 4

@@ -187,3 +187,20 @@ def test_multimodal_resize_and_frame_sample_plumbing(spark):
     out2 = {(r["doc_id"], r["frame_idx"]): bytes(r["frame"]) for r in frames.collect()}
     for r in out:
         assert out2[(r["doc_id"], r["frame_idx"])] == bytes(r["frame"])
+
+
+def test_embedding_near_dups_zero_vector_no_nan_pairs(spark):
+    """Regression: a zero-norm vector produced 0/0 = NaN cosine, and Spark
+    orders NaN above every number, so NaN >= threshold emitted spurious
+    pairs; the nullif guard must drop them instead."""
+    rows = [
+        (0, [0.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),
+        (3, [1.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = ded.embedding_near_dups(df, "embedding", "vec_id", threshold=0.9, n_planes=2, dim=4)
+    got = {(r["key_a"], r["key_b"]) for r in pairs.collect()}
+    assert (0, 1) not in got  # zero-vector pair must not surface as NaN
+    assert (2, 3) in got  # identical real vectors still match

@@ -166,3 +166,35 @@ def test_dedup_stream_across_batches(spark, tmp_path):
     expected = {r["fp"] for r in dedup_exact(first, "text", "doc_id").select("fp").collect()}
     assert got == expected
     assert len(emitted) == len(expected)  # duplicates were stateful-dropped
+
+
+def test_streaming_duplicate_rows_batch_not_aliased(spark, tmp_path):
+    """Regression for the XOR-only batch fingerprint: a later batch equal
+    to a committed one PLUS an even number of repeated rows used to XOR to
+    the same fingerprint (x^x=0), alias the committed pids, and be dropped
+    by the resume anti-join. The multiset-sensitive fingerprint (xor + sum
+    + count) must namespace it apart so every row survives."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(20)
+    extra = docs.filter(F.col("doc_id") == 0)  # one row, duplicated twice
+    batch2 = docs.unionAll(extra).unionAll(extra)
+    d = tmp_path / "stream_dup"
+    d.mkdir()
+    root = str(tmp_path / "store_dup")
+    docs.write.parquet(str(d / "batch-a.parquet"))
+    stream = spark.readStream.schema(docs.schema).parquet(str(d) + "/*")
+    q = encode_stream(
+        stream, root, ["lang", "source"], ["doc_id"],
+        checkpoint_dir=str(tmp_path / "cp_dup"), size_col="text",
+    )
+    q.awaitTermination(120)
+    batch2.write.parquet(str(d / "batch-b.parquet"))
+    q2 = encode_stream(
+        stream, root, ["lang", "source"], ["doc_id"],
+        checkpoint_dir=str(tmp_path / "cp_dup"), size_col="text",
+    )
+    q2.awaitTermination(120)
+    decoded = decode_table(spark, root)
+    # batch 1 (20 rows) + batch 2 (22 rows incl. the duplicated doc) all land
+    assert decoded.count() == 42
+    # doc 0: once from batch 1, three times from batch 2 (1 + 2 duplicates)
+    assert decoded.filter(F.col("doc_id") == 0).count() == 4

@@ -211,8 +211,11 @@ def encode_column(
         # FIXED_LEN_BYTE_ARRAY (widths the reference dispatches at
         # /root/reference/src/parquet/dynamic.zig:47-55): encode through the
         # variable-width binary codecs; the constant width lives in meta and
-        # the decoder casts back.
+        # the decoder casts back. Compact first: pyarrow 16's FSB→binary
+        # cast mishandles non-zero offsets (worker SIGSEGV on sliced input).
         meta["fixed"] = arr.type.byte_width
+        if arr.offset:
+            arr = pa.concat_arrays([arr])
         arr = arr.cast(pa.binary())
     if arr.type == pa.float16():
         # Arrow lacks dictionary/unique kernels for halffloat; all codecs

@@ -72,6 +72,60 @@ _TOKEN_CAST = {
 }
 
 
+def _arrow_natural_type(meta: dict) -> pa.DataType:
+    """The Arrow type ``decode_column`` produces for this meta, pre-cast."""
+    from ..codecs import dtypes
+
+    codec = meta.get("codec")
+    if codec == "list":
+        cls = pa.large_list if meta.get("large") else pa.list_
+        return cls(_arrow_natural_type(meta["child_meta"]))
+    if codec == "map":
+        return pa.map_(
+            _arrow_natural_type(meta["keys_meta"]), _arrow_natural_type(meta["items_meta"])
+        )
+    if codec == "struct":
+        return pa.struct(
+            [pa.field(n, _arrow_natural_type(cm)) for n, cm in zip(meta["fields"], meta["children"])]
+        )
+    if codec == "decimal":
+        return dtypes.arrow_type(meta["dtype"])
+    if meta.get("fixed"):
+        return pa.binary(meta["fixed"])
+    if meta.get("halffloat"):
+        return pa.float16()
+    return dtypes.arrow_type(meta["codec_meta"]["dtype"])
+
+
+def _arrow_target_type(meta: dict) -> pa.DataType:
+    """The Arrow type matching the declared Spark DDL — _TOKEN_CAST widenings
+    applied recursively through list/map/struct children, so nested uint64 /
+    timestamp[s|ms|ns] / date64 / halffloat columns cast to the DDL type the
+    same way top-level ones do."""
+    from ..codecs import dtypes
+
+    codec = meta.get("codec")
+    if codec == "list":
+        cls = pa.large_list if meta.get("large") else pa.list_
+        return cls(_arrow_target_type(meta["child_meta"]))
+    if codec == "map":
+        return pa.map_(
+            _arrow_target_type(meta["keys_meta"]), _arrow_target_type(meta["items_meta"])
+        )
+    if codec == "struct":
+        return pa.struct(
+            [pa.field(n, _arrow_target_type(cm)) for n, cm in zip(meta["fields"], meta["children"])]
+        )
+    if codec == "decimal":
+        return dtypes.arrow_type(meta["dtype"])
+    if meta.get("fixed"):
+        return pa.binary()  # Spark has no fixed-width binary
+    if meta.get("halffloat"):
+        return pa.float32()  # lossless widening; Spark has no half
+    token = meta["codec_meta"]["dtype"]
+    return _TOKEN_CAST.get(token, dtypes.arrow_type(token))
+
+
 def _spark_type(meta: dict) -> str:
     codec_meta = meta.get("codec_meta", meta)
     if meta.get("codec") == "list":
@@ -112,13 +166,9 @@ def decoded_schema(
         meta = json.loads(row["meta_json"])
         cols.append(name)
         ddl.append(f"{name} {_spark_type(meta)}")
-        token = meta.get("codec_meta", {}).get("dtype") if meta.get("codec") not in ("list", "map", "struct") else None
-        if token is not None and token in _TOKEN_CAST:
-            casts[name] = _TOKEN_CAST[token]
-        if meta.get("fixed"):
-            casts[name] = pa.binary()  # Spark has no fixed-width binary
-        if meta.get("halffloat"):
-            casts[name] = pa.float32()  # lossless widening; Spark has no half
+        target = _arrow_target_type(meta)
+        if target != _arrow_natural_type(meta):
+            casts[name] = target
     if columns is not None:
         order = {c: i for i, c in enumerate(columns)}
         pairs = sorted(zip(cols, ddl), key=lambda p: order[p[0]])

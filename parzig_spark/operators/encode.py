@@ -85,14 +85,45 @@ def column_digest(arr: pa.Array) -> str:
     return h.hexdigest()
 
 
+_STR_STAT_CHARS = 16
+
+
+def string_upper_bound(s: str, limit: int = _STR_STAT_CHARS) -> str | None:
+    """Truncated-but-SOUND upper bound for a string max — the Parquet
+    Statistics trick (the reference parses exactly these Statistics,
+    /root/reference/src/generated/parquet.zig:55-76): truncate to ``limit``
+    code points, then increment the last incrementable one so the result is
+    strictly greater than every string sharing the truncated prefix.
+    Returns ``s`` itself when it already fits; None when no bound exists
+    (all-U+10FFFF prefix). Comparison domain is code points — identical to
+    UTF-8 byte order, which both Spark's UTF8String and Python use."""
+    if len(s) <= limit:
+        return s
+    t = s[:limit]
+    for i in range(len(t) - 1, -1, -1):
+        cp = ord(t[i])
+        if cp < 0x10FFFF:
+            nxt = cp + 1
+            if 0xD800 <= nxt <= 0xDFFF:  # skip the unencodable surrogate gap
+                nxt = 0xE000
+            return t[:i] + chr(nxt)
+    return None
+
+
 def column_minmax(arr: pa.Array) -> tuple[str | None, str | None]:
     """Canonical-string min/max for orderable scalar types (pruning stats).
 
     Numerics parse back as double; date/timestamp ISO strings order
-    lexicographically. Strings/binary/nested are skipped (a truncated max
-    is not a valid upper bound, and full content bounds would bloat
-    manifests)."""
+    lexicographically. Strings record a truncated 16-code-point lower bound
+    (a prefix is ≤ the full value) and a truncated-then-incremented upper
+    bound (:func:`string_upper_bound`) — both sound, never exact beyond 16
+    chars, so manifests stay small while equality/range predicates on e.g.
+    ``lang`` or ``repo`` prune partitions. Binary/nested are skipped."""
     t = arr.type
+    if (pa.types.is_string(t) or pa.types.is_large_string(t)) and len(arr) != arr.null_count:
+        mm = pa.compute.min_max(arr)
+        smin, smax = mm["min"].as_py(), mm["max"].as_py()
+        return smin[:_STR_STAT_CHARS], string_upper_bound(smax)
     orderable = (
         pa.types.is_integer(t)
         or pa.types.is_floating(t)
@@ -119,6 +150,7 @@ def plan_partitions(
     min_buckets: int | None = None,
     size_sample_mod: int = 1,
     pid_namespace: int | None = None,
+    bucket_bits: int = 24,
     broadcast_group_limit: int = 65536,
 ) -> tuple[DataFrame, int]:
     """Attach a deterministic, skew-defused partition id column ``pid``.
@@ -136,10 +168,12 @@ def plan_partitions(
       group count is ~repos×langs — far above any sane partition count).
 
     ``pid_namespace`` folds a caller-supplied dataset fingerprint into the
-    high pid bits (39-bit namespace ``<<`` 24-bit bucket) so independent
-    datasets encoded into one store (streaming micro-batches) can never
-    collide on pid: without it, a later batch whose buckets alias committed
-    pids would be silently anti-joined away on resume.
+    high pid bits ((63 - bucket_bits)-bit namespace ``<<`` bucket_bits-bit
+    bucket) so independent datasets encoded into one store (streaming
+    micro-batches) can never collide on pid: without it, a later batch whose
+    buckets alias committed pids would be silently anti-joined away on
+    resume. Callers with few buckets per dataset (micro-batches) should
+    shrink ``bucket_bits`` to widen the namespace.
 
     Scale path: group sizing stays fully distributed. Only when the group
     count is at most ``broadcast_group_limit`` is the salt table collected
@@ -200,7 +234,7 @@ def plan_partitions(
         min_buckets = 1
     n_buckets = max(min_buckets, -(-int(total_bytes) // target_bytes))
     if pid_namespace is not None:
-        n_buckets = min(n_buckets, 1 << 24)
+        n_buckets = min(n_buckets, 1 << bucket_bits)
     if distributed:
         # AQE picks the physical join; the persisted aggregate is reused,
         # so this still costs one sizing scan total.
@@ -216,7 +250,7 @@ def plan_partitions(
         F.xxhash64(*[F.col(c) for c in group_cols], salt.cast("long")), F.lit(n_buckets)
     )
     if pid_namespace is not None:
-        ns_base = (pid_namespace & ((1 << 39) - 1)) << 24
+        ns_base = (pid_namespace & ((1 << (63 - bucket_bits)) - 1)) << bucket_bits
         pid = (F.lit(ns_base).cast("long") + bucket).alias("pid")
     else:
         pid = bucket
@@ -235,7 +269,9 @@ def encode_table(
     resume: bool = True,
     outer: str | None = "auto",
     pid_namespace: int | None = None,
+    bucket_bits: int = 24,
     plan_sample_rows: int = 8192,
+    codec_overrides: dict[str, str] | None = None,
 ) -> DataFrame:
     """Encode ``df`` into ``store_root``; returns the per-column summary.
 
@@ -251,6 +287,11 @@ def encode_table(
     buckets of pure overhead. Codec choice never feeds pid derivation, so
     this cannot affect resume identity; within one job all task attempts
     share the driver's plan, keeping retried blobs byte-identical.
+
+    ``codec_overrides`` pins named columns to explicit codecs (bypassing the
+    selector) — the per-encoding conformance lever, mirroring the
+    reference's per-encoding golden tests
+    (/root/reference/src/parquet_testing.zig:332,834-856).
     """
     spark = df.sparkSession
     salt_cols = salt_cols or [c for c in df.columns if c not in group_cols][:1]
@@ -291,7 +332,8 @@ def encode_table(
         sample_thread.start()
 
     with_pid, n_buckets = plan_partitions(
-        df, group_cols, salt_cols, target_bytes, size_col, pid_namespace=pid_namespace
+        df, group_cols, salt_cols, target_bytes, size_col,
+        pid_namespace=pid_namespace, bucket_bits=bucket_bits,
     )
 
     codec_plan: dict[str, str] = {}
@@ -306,6 +348,8 @@ def encode_table(
         sample = sample_box["table"]
         if sample.num_rows:
             for column in df.columns:
+                if codec_overrides and column in codec_overrides:
+                    continue
                 try:
                     codec, lineage = choose_codec(sample.column(column), outer=outer)
                 except (TypeError, ValueError):
@@ -367,8 +411,12 @@ def encode_table(
             for column in data_cols:
                 arr = table.column(column).combine_chunks()
                 t0 = time.perf_counter()
+                override = (codec_overrides or {}).get(column)
                 planned = codec_plan.get(column)
-                if planned is not None:
+                if override is not None:
+                    codec = override
+                    lineage_json = json.dumps({"plan": "override"}, separators=(",", ":"))
+                elif planned is not None:
                     codec, lineage_json = planned, plan_lineage[column]
                 else:
                     codec, lineage = choose_codec(arr, outer=outer)

@@ -42,6 +42,7 @@ def verify_store(spark, store_root: str) -> DataFrame:
     from .encode import column_digest
 
     store = ManifestStore(store_root)
+    store.check_format()  # v1/foreign store → loud error, not blanket digest_mismatch
     snap = store.fresh_snapshot()
     manifests = spark.read.parquet(snap).select("pid", "column", "meta_json", "sha256")
     manifests = manifests.repartition(

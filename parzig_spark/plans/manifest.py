@@ -56,10 +56,12 @@ MANIFEST_SCHEMA = pa.schema(
 
 # Bump whenever blob layouts or the manifest schema change incompatibly
 # (v2: sectioned RLE/delta headers, stat_min/stat_max manifest columns,
-# leveled zstd outer). ensure_config embeds it in the store identity, so a
-# resume against an older store fails loudly instead of mixing formats;
-# check_format gives decoders the same loud failure.
-FORMAT_VERSION = 2
+# leveled zstd outer; v3: streaming pid layout 47-bit namespace × 16-bit
+# bucket + namespace claim markers, truncated string min/max stats).
+# ensure_config embeds it in the store identity, so a resume against an
+# older store fails loudly instead of mixing formats; check_format gives
+# decoders the same loud failure.
+FORMAT_VERSION = 3
 
 
 class ManifestStore:

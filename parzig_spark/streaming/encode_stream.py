@@ -16,12 +16,48 @@ engine's stateful unit is the manifest store itself).
 from __future__ import annotations
 
 import hashlib
+import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.encode import encode_table
+
+# Micro-batches are small; 16 bucket bits (65k partitions per batch) is
+# plenty, and shrinking from the batch default of 24 widens the namespace
+# to 47 bits (birthday bound ~2^23.5 batches, up from 2^19.5 at 39 bits).
+_STREAM_BUCKET_BITS = 16
+
+
+def claim_namespace(store_root: str, namespace: int, digest_hex: str) -> None:
+    """Loud cross-batch aliasing guard: even a (47-bit) namespace collision
+    can never silently drop rows — the namespace is claimed with the FULL
+    256-bit batch fingerprint via an O_EXCL marker; a different batch landing
+    on a claimed namespace fails here instead of being anti-joined away,
+    while an identical replayed batch (crash recovery) matches and proceeds
+    to its normal resume skip."""
+    d = os.path.join(store_root, "namespaces")
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, f"ns_{namespace}")
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        try:
+            os.write(fd, digest_hex.encode())
+        finally:
+            os.close(fd)
+        return
+    except FileExistsError:
+        pass
+    with open(path) as f:
+        existing = f.read()
+    if existing != digest_hex:
+        raise RuntimeError(
+            f"pid namespace collision in {store_root}: namespace {namespace} "
+            f"was claimed by a different batch (fingerprint {existing[:16]}… "
+            f"!= {digest_hex[:16]}…) — refusing to encode; rows would be "
+            "silently dropped by the resume anti-join"
+        )
 
 
 def encode_stream(
@@ -38,10 +74,13 @@ def encode_stream(
 
     Cross-batch pid safety: partition ids are namespaced per micro-batch by
     an order-independent, multiplicity-sensitive content fingerprint
-    (XOR + bounded sum + count of per-row xxhash64, sha256-folded), so a
-    later batch can never alias a committed pid and be silently anti-joined
-    away — while an identical *replayed* batch (crash recovery) recomputes
-    the same fingerprint and correctly skips its committed partitions.
+    (XOR + bounded sum + count of per-row xxhash64, sha256-folded into a
+    47-bit namespace), so a later batch can never alias a committed pid and
+    be silently anti-joined away — while an identical *replayed* batch
+    (crash recovery) recomputes the same fingerprint and correctly skips its
+    committed partitions. Even a namespace collision cannot lose rows:
+    :func:`claim_namespace` pins each namespace to the full 256-bit
+    fingerprint and fails loudly on mismatch.
     """
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -68,7 +107,8 @@ def encode_stream(
         digest = hashlib.sha256(
             f"{fp_row['x']},{fp_row['s']},{fp_row['c']}".encode()
         ).digest()
-        batch_fp = int.from_bytes(digest[:5], "big")  # 39-bit pid namespace
+        batch_fp = int.from_bytes(digest[:6], "big") >> 1  # 47-bit namespace
+        claim_namespace(store_root, batch_fp, digest.hex())
         encode_table(
             batch_df,
             store_root,
@@ -78,6 +118,7 @@ def encode_stream(
             target_bytes=target_bytes,
             resume=True,  # replayed batches skip committed partitions
             pid_namespace=batch_fp,
+            bucket_bits=_STREAM_BUCKET_BITS,
         ).count()
 
     writer = (

@@ -314,3 +314,41 @@ def test_decimal_blob_gets_outer_compression():
     assert decode_column(blob, meta).equals(arr)
     # the near-constant lanes must actually shrink
     assert len(blob) < arr.nbytes / 4
+
+
+def test_encode_column_sliced_fixed_size_binary():
+    """Regression (round-3 advice): pyarrow 16's FSB→binary cast mishandles
+    non-zero offsets (SIGSEGV); encode_column must compact sliced input."""
+    arr = pa.array([b"%04d" % i for i in range(500)], pa.binary(4)).slice(3, 400)
+    assert arr.offset == 3
+    blob, meta = encode_column(arr, "dict")
+    out = decode_column(blob, meta)
+    assert out.equals(pa.concat_arrays([arr]))
+
+
+def test_string_upper_bound_is_sound():
+    from parzig_spark.operators.encode import string_upper_bound
+
+    assert string_upper_bound("short") == "short"
+    long = "a" * 20
+    ub = string_upper_bound(long)
+    assert len(ub) == 16 and ub > long
+    # trailing max code points: increment an earlier character
+    s = "abc" + chr(0x10FFFF) * 17
+    assert string_upper_bound(s) == "abd" and string_upper_bound(s) > s
+    # surrogate gap is skipped (U+D7FF + 1 → U+E000, UTF-8-encodable)
+    s2 = "x" * 15 + "퟿" + "y" * 5
+    assert string_upper_bound(s2) == "x" * 15 + "" and string_upper_bound(s2) > s2
+    # no bound exists for an all-max prefix
+    assert string_upper_bound(chr(0x10FFFF) * 20) is None
+
+
+def test_column_minmax_string_stats():
+    from parzig_spark.operators.encode import column_minmax
+
+    lo, hi = column_minmax(pa.array(["zig", "python", "rust"]))
+    assert lo == "python" and hi == "zig"  # short strings: exact bounds
+    longmax = "z" * 40
+    lo, hi = column_minmax(pa.array(["alpha" * 10, longmax]))
+    assert lo == ("alpha" * 10)[:16]
+    assert hi is not None and hi > longmax and len(hi) <= 16

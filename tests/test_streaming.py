@@ -198,3 +198,18 @@ def test_streaming_duplicate_rows_batch_not_aliased(spark, tmp_path):
     assert decoded.count() == 42
     # doc 0: once from batch 1, three times from batch 2 (1 + 2 duplicates)
     assert decoded.filter(F.col("doc_id") == 0).count() == 4
+
+
+def test_claim_namespace_guard(tmp_path):
+    """Round-3 advice: a namespace collision between two DIFFERENT batches
+    must fail loudly (silent row loss before); an identical replayed batch
+    (same full fingerprint) passes."""
+    import pytest
+
+    from parzig_spark.streaming.encode_stream import claim_namespace
+
+    root = str(tmp_path / "store")
+    claim_namespace(root, 12345, "a" * 64)
+    claim_namespace(root, 12345, "a" * 64)  # replay: same digest, fine
+    with pytest.raises(RuntimeError, match="namespace collision"):
+        claim_namespace(root, 12345, "b" * 64)

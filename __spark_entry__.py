@@ -397,17 +397,150 @@ def q_roundtrip_events_window(spark, sf_dir):
     )
 
 
-def q_compression_summary(spark, sf_dir):
+def q_roundtrip_forced_codecs(spark, sf_dir):
+    """Per-encoding conformance, oracle-gated (the role of the reference's
+    per-encoding golden tests, /root/reference/src/parquet_testing.zig:332):
+    BIT_PACKED (E5) on a narrow-range int, DELTA_BYTE_ARRAY (E8) on a
+    string, BYTE_STREAM_SPLIT (E9) on a float — all under a pinned SNAPPY
+    outer (C2) — encoded, decoded, and aggregated bit-exact."""
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey",
+        F.pmod(F.col("o_orderkey"), F.lit(16)).cast("int").alias("key_mod"),
+        "o_orderpriority",
+        "o_totalprice",
+        "o_orderstatus",
+    )
+    root = tempfile.mkdtemp(prefix="parzig_forced_")
+    encode_table(
+        src, root, group_cols=["o_orderstatus"], salt_cols=["o_orderkey"],
+        target_bytes=32 << 20, resume=False, outer="snappy",
+        codec_overrides={
+            "key_mod": "bitpack",
+            "o_orderpriority": "delta_byte",
+            "o_totalprice": "byte_stream_split",
+        },
+    ).count()
+    dec = decode_table(spark, root)
+    return (
+        dec.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("key_mod").alias("sum_mod"),
+            F.sum(_floor_cents(F.col("o_totalprice"))).alias("sum_price_cents"),
+            F.min("o_orderpriority").alias("min_prio"),
+            F.max("o_orderpriority").alias("max_prio"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def q_roundtrip_nested(spark, sf_dir):
+    """MAP (S6) + STRUCT (S7) + LIST (S5) scans, oracle-gated under a pinned
+    GZIP outer (C3): nested columns built from customer, encoded through the
+    Dremel-shaped nested codecs (lengths + recursively encoded children,
+    /root/reference/src/parquet/nestedReader.zig:12-144), decoded, and
+    flattened to scalars DuckDB reproduces from the base table."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    src = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.struct(
+            F.col("c_mktsegment").alias("seg"), F.col("c_acctbal").alias("bal")
+        ).alias("cs"),
+        F.create_map(
+            F.lit("bal"), F.col("c_acctbal"),
+            F.lit("key"), F.col("c_custkey").cast("double"),
+        ).alias("cm"),
+        F.array(F.col("c_custkey"), F.col("c_nationkey").cast("long")).alias("ca"),
+    )
+    root = tempfile.mkdtemp(prefix="parzig_nested_")
+    encode_table(
+        src, root, group_cols=["c_mktsegment"], salt_cols=["c_custkey"],
+        target_bytes=32 << 20, resume=False, outer="gzip",
+    ).count()
+    dec = decode_table(spark, root)
+    return (
+        dec.groupBy(F.col("cs.seg").alias("seg"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_floor_cents(F.col("cs.bal"))).alias("sum_bal_cents"),
+            F.sum(_floor_cents(F.element_at(F.col("cm"), F.lit("bal")))).alias("sum_map_cents"),
+            F.sum(F.element_at(F.col("ca"), 1)).alias("sum_key"),
+            F.sum(F.element_at(F.col("ca"), 2)).alias("sum_nation"),
+        )
+        .orderBy("seg")
+    )
+
+
+def q_roundtrip_bool_rle(spark, sf_dir):
+    """RLE-boolean data lane (E10) under a pinned LZ4_RAW outer (C5,
+    /root/reference/src/compress/lz4.zig:17-198), oracle-gated."""
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") > 150000.0).alias("big"),
+    )
+    root = tempfile.mkdtemp(prefix="parzig_boolrle_")
+    encode_table(
+        src, root, group_cols=["o_orderstatus"], salt_cols=["o_orderkey"],
+        target_bytes=32 << 20, resume=False, outer="lz4_raw",
+        codec_overrides={"big": "rle"},
+    ).count()
+    dec = decode_table(spark, root)
+    return (
+        dec.groupBy("o_orderstatus", "big")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_orderkey").alias("sum_key"))
+        .orderBy("o_orderstatus", "big")
+    )
+
+
+def q_roundtrip_pruned_lang(spark, sf_dir):
+    """String-predicate partition pruning, oracle-gated: encode documents
+    bucketed by lang, decode with a manifest string-stats predicate
+    (truncated-but-sound bounds), verify per-row sha equality of the
+    surviving rows — over-pruning would drop rows and hash-mismatch."""
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    root = tempfile.mkdtemp(prefix="parzig_strprune_")
+    encode_table(
+        src, root, group_cols=["lang"], salt_cols=["doc_id"],
+        size_col="text", target_bytes=1 << 20, resume=False,
+    ).count()
+    dec = decode_table(spark, root, predicates=[("lang", "==", "zh")])
+    return (
+        dec.filter(F.col("lang") == "zh")
+        .select("doc_id", "lang", F.sha2("text", 256).alias("text_sha"))
+        .orderBy("doc_id")
+    )
+
+
+def _encode_summary(spark, sf_dir):
     src = spark.read.parquet(f"{sf_dir}/documents.parquet")
     root = tempfile.mkdtemp(prefix="parzig_summary_")
-    summary = encode_table(
+    return encode_table(
         src, root, group_cols=["lang", "source"], salt_cols=["doc_id"], size_col="text", resume=False
     )
+
+
+def q_compression_summary(spark, sf_dir):
+    """Oracle-gated half of the encode summary: per-column value counts —
+    every encoded value is accounted for (count(*) per column in DuckDB).
+    Engine-internal byte metrics live in q_compression_bytes (rows-only)."""
     return (
-        summary.groupBy("column")
+        _encode_summary(spark, sf_dir)
+        .groupBy("column")
+        .agg(F.sum("n_values").alias("n_values"))
+        .orderBy("column")
+    )
+
+
+def q_compression_bytes(spark, sf_dir):
+    """Engine-internal byte metrics (no SQL twin by design: codec choice and
+    encoded sizes exist only inside the engine) — rows-only check."""
+    return (
+        _encode_summary(spark, sf_dir)
+        .groupBy("column")
         .agg(
             F.first("codec").alias("codec_example"),
-            F.sum("n_values").alias("n_values"),
             F.sum("raw_bytes").alias("raw_bytes"),
             F.sum("enc_bytes").alias("enc_bytes"),
         )
@@ -518,31 +651,32 @@ def q_ann_cosine_topk(spark, sf_dir):
     return sim.cosine_topk(emb.filter(F.col("vec_id") != 0), query, k=20)
 
 
-_LSH_INDEX_CACHE: dict[str, str] = {}
+_LSH_INDEX_CACHE: dict[str, tuple[str, list]] = {}
 
 
-def _lsh_index_for(spark, sf_dir: str) -> str:
-    """Materialized bucket-partitioned index, built once per corpus —
-    probes amortize the build exactly as a production ANN service would."""
-    path = _LSH_INDEX_CACHE.get(sf_dir)
-    if path is None:
+def _lsh_index_for(spark, sf_dir: str) -> tuple[str, list]:
+    """Materialized bucket-partitioned index plus the (cached) query vector,
+    built/fetched once per corpus — probes amortize both exactly as a
+    production build-once/probe-many ANN service would (steady-state probe
+    = ONE Spark job)."""
+    cached = _LSH_INDEX_CACHE.get(sf_dir)
+    if cached is None:
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
         path = tempfile.mkdtemp(prefix="parzig_lshidx_")
         sim.build_lsh_index(emb.filter(F.col("vec_id") != 0), path, n_planes=6, dim=64)
-        _LSH_INDEX_CACHE[sf_dir] = path
-    return path
+        cached = (path, list(qrow["embedding"]))
+        _LSH_INDEX_CACHE[sf_dir] = cached
+    return cached
 
 
 def q_ann_lsh_topk(spark, sf_dir):
     # Probe the MATERIALIZED index (parquet partitioned by bucket): the
     # bucket filter lands on the partition column, so only the query's
-    # Hamming-radius-1 bucket directories are read.
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
-    path = _lsh_index_for(spark, sf_dir)
-    return sim.lsh_topk_indexed(
-        spark, path, list(qrow["embedding"]), k=20, n_planes=6, radius=1
-    )
+    # Hamming-radius-1 bucket directories are read. Plane params come from
+    # the index's own _meta.json (no probe/build drift).
+    path, qvec = _lsh_index_for(spark, sf_dir)
+    return sim.lsh_topk_indexed(spark, path, qvec, k=20, radius=1)
 
 
 def q_ann_lsh_recall(spark, sf_dir):
@@ -706,7 +840,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_orders": q_roundtrip_orders,
         "roundtrip_pruned": q_roundtrip_pruned,
         "roundtrip_events_window": q_roundtrip_events_window,
+        "roundtrip_forced_codecs": q_roundtrip_forced_codecs,
+        "roundtrip_nested": q_roundtrip_nested,
+        "roundtrip_bool_rle": q_roundtrip_bool_rle,
+        "roundtrip_pruned_lang": q_roundtrip_pruned_lang,
         "compression_summary": q_compression_summary,
+        "compression_bytes": q_compression_bytes,
         "tpch_q1": q_tpch_q1,
         "join_segment_revenue": q_join_segment_revenue,
         "dedup_exact": q_dedup_exact,
@@ -766,6 +905,36 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "roundtrip_forced_codecs": """
+            SELECT o_orderstatus, count(*) AS n,
+                   CAST(sum(o_orderkey % 16) AS BIGINT) AS sum_mod,
+                   CAST(sum(CAST(floor(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+                   min(o_orderpriority) AS min_prio,
+                   max(o_orderpriority) AS max_prio
+            FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """,
+        "roundtrip_nested": """
+            SELECT c_mktsegment AS seg, count(*) AS n,
+                   CAST(sum(CAST(floor(c_acctbal*100) AS BIGINT)) AS BIGINT) AS sum_bal_cents,
+                   CAST(sum(CAST(floor(c_acctbal*100) AS BIGINT)) AS BIGINT) AS sum_map_cents,
+                   CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+                   CAST(sum(c_nationkey) AS BIGINT) AS sum_nation
+            FROM customer GROUP BY 1 ORDER BY 1
+        """,
+        "roundtrip_bool_rle": """
+            SELECT o_orderstatus, o_totalprice > 150000.0 AS big,
+                   count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+            FROM orders GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "roundtrip_pruned_lang": """
+            SELECT doc_id, lang, sha256(text) AS text_sha
+            FROM documents WHERE lang = 'zh' ORDER BY doc_id
+        """,
+        "compression_summary": """
+            SELECT col AS "column", (SELECT count(*) FROM documents) AS n_values
+            FROM (VALUES ('doc_id'), ('lang'), ('n_chars'), ('source'), ('text')) t(col)
+            ORDER BY 1
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,

@@ -51,12 +51,19 @@ _TYPE_TO_TOKEN = {str(t): tok for tok, (t, _) in _TOKEN_TABLE.items()}
 def dtype_token(t: pa.DataType) -> str:
     # Parameterized tokens first: DECIMAL (reference:
     # /root/reference/src/parquet/logical.zig:230-249 — but lossless here,
-    # 16-byte lanes, never f128) and FIXED_LEN_BYTE_ARRAY widths
-    # (/root/reference/src/parquet/dynamic.zig:47-55).
+    # 16-byte lanes, never f128), FIXED_LEN_BYTE_ARRAY widths
+    # (/root/reference/src/parquet/dynamic.zig:47-55), and tz-AWARE
+    # timestamps — Spark's TimestampType (and INT96-sourced columns) arrive
+    # Arrow-side as timestamp[us, tz=...]; the tz rides in the token and the
+    # physical lane stays the same i64 (the reference's TimestampLogical
+    # reinterpretation, /root/reference/src/parquet/logical.zig:60-88, is
+    # equally unit-only — tz is presentation metadata).
     if pa.types.is_decimal128(t):
         return f"decimal128({t.precision},{t.scale})"
     if pa.types.is_fixed_size_binary(t):
         return f"fixed[{t.byte_width}]"
+    if pa.types.is_timestamp(t) and t.tz is not None:
+        return f"timestamp[{t.unit},tz={t.tz}]"
     tok = _TYPE_TO_TOKEN.get(str(t))
     if tok is None:
         raise TypeError(f"unsupported arrow type for encoding: {t}")
@@ -69,7 +76,34 @@ def arrow_type(token: str) -> pa.DataType:
         return pa.decimal128(int(p), int(s))
     if token.startswith("fixed["):
         return pa.binary(int(token[len("fixed[") : -1]))
+    if token.startswith("timestamp[") and "tz=" in token:
+        unit, tz = token[len("timestamp[") : -1].split(",tz=")
+        return pa.timestamp(unit, tz)
     return _TOKEN_TABLE[token][0]
+
+
+def normalize_ingest(table: pa.Table) -> pa.Table:
+    """Source-boundary normalization for legacy parquet inputs.
+
+    INT96 timestamps (old Hive/Spark files) surface from pyarrow as
+    ``timestamp[ns]`` — the reference decodes the same i96 nano values at
+    /root/reference/src/parquet/dynamic.zig:6-58. Spark's native unit is
+    microseconds, so convert ns→us here (truncating, like Spark's own INT96
+    reader); every other column passes through untouched. The engine can
+    also store ns bit-exact (the timestamp[ns] token) when Arrow-side
+    readers want full fidelity — this helper is for Spark-bound pipelines.
+    """
+    fields = []
+    changed = False
+    for f in table.schema:
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns":
+            fields.append(pa.field(f.name, pa.timestamp("us", tz=f.type.tz), f.nullable))
+            changed = True
+        else:
+            fields.append(f)
+    if not changed:
+        return table
+    return table.cast(pa.schema(fields), safe=False)
 
 
 def decimal_lanes(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
@@ -96,6 +130,8 @@ def decimal_from_lanes(lo: np.ndarray, hi: np.ndarray, token: str) -> pa.Array:
 
 
 def numpy_dtype(token: str) -> np.dtype:
+    if token.startswith("timestamp["):  # incl. tz-aware: always an i64 lane
+        return np.dtype("<i8")
     d = _TOKEN_TABLE[token][1]
     if d is None:
         raise TypeError(f"{token} is variable-width; no fixed numpy dtype")

@@ -157,20 +157,22 @@ def sample_frames(
 
     def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            keys = {c: [] for c in key_cols}
-            fidx, frames = [], []
-            for _, row in pdf.iterrows():
-                blob = row[bin_col] or b"\x00"
-                arr = np.frombuffer(blob, dtype=np.uint8)
-                for j in range(n_frames):
-                    off = (j * max(len(arr) - frame_bytes, 0)) // max(n_frames - 1, 1)
-                    for c in key_cols:
-                        keys[c].append(row[c])
-                    fidx.append(j)
-                    frames.append(arr[off : off + frame_bytes].tobytes())
-            out = pd.DataFrame(keys)
-            out["frame_idx"] = fidx
-            out["frame"] = frames
+            # Vectorized offset arithmetic over the whole batch (no
+            # per-row Python): flatten all blobs once, compute every
+            # (row, frame) slice start from lengths, then cut strided
+            # windows out of the flat buffer.
+            blobs = [(b if b else b"\x00") for b in pdf[bin_col]]
+            lens = np.fromiter((len(b) for b in blobs), np.int64, len(blobs))
+            starts = np.zeros(len(blobs) + 1, dtype=np.int64)
+            np.cumsum(lens, out=starts[1:])
+            flat = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+            j = np.tile(np.arange(n_frames, dtype=np.int64), len(blobs))
+            span = np.repeat(np.maximum(lens - frame_bytes, 0), n_frames)
+            offs = np.repeat(starts[:-1], n_frames) + (j * span) // max(n_frames - 1, 1)
+            take = np.minimum(np.repeat(lens, n_frames) + np.repeat(starts[:-1], n_frames) - offs, frame_bytes)
+            out = pdf[key_cols].iloc[np.repeat(np.arange(len(blobs)), n_frames)].reset_index(drop=True)
+            out["frame_idx"] = j
+            out["frame"] = [flat[o : o + t].tobytes() for o, t in zip(offs, take)]
             yield out
 
     key_schema = ", ".join(f"{c} {dict(df.dtypes)[c]}" for c in key_cols)
@@ -197,16 +199,17 @@ def feature_scalars(
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf[key_cols].copy()
-            fmts, nbytes = [], []
-            hists = np.zeros((len(pdf), 16), dtype=np.int64)
-            for i, b in enumerate(pdf[bin_col]):
-                fmts.append(sniff_format(b))
-                arr = np.frombuffer(b or b"", dtype=np.uint8)
-                nbytes.append(len(arr))
-                if len(arr):
-                    hists[i] = np.bincount(arr >> 4, minlength=16)
-            out["format"] = fmts
-            out["n_bytes"] = np.asarray(nbytes, dtype=np.int64)
+            blobs = [b or b"" for b in pdf[bin_col]]
+            lens = np.fromiter((len(b) for b in blobs), np.int64, len(blobs))
+            # One flattened segment-bincount for the whole batch: key each
+            # byte by row*16 + high nibble — no per-row np.bincount calls.
+            flat = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+            row_ix = np.repeat(np.arange(len(blobs), dtype=np.int64), lens)
+            hists = np.bincount(
+                row_ix * 16 + (flat >> 4), minlength=len(blobs) * 16
+            ).reshape(len(blobs), 16)
+            out["format"] = [sniff_format(b) for b in blobs]
+            out["n_bytes"] = lens
             for j in range(16):
                 out[f"h{j}"] = hists[:, j]
             yield out

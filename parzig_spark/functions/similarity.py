@@ -16,6 +16,8 @@ oracle) or driver-side Python reproduces identical buckets bit-for-bit.
 
 from __future__ import annotations
 
+import json
+import os
 from collections.abc import Iterator
 
 import numpy as np
@@ -169,12 +171,22 @@ def build_lsh_index(
     """MATERIALIZE the LSH index: parquet partitioned by bucket, so probes
     read only matching bucket directories (storage-level partition
     pruning). Build once, probe many — the index is never recomputed per
-    query."""
+    query. Build parameters are pinned in ``_meta.json`` inside the index
+    (underscore prefix → invisible to Spark's parquet listing), so probe
+    params can never drift from build params."""
+    if dim is None:
+        dim = _vector_dim(df, vec_col)
     indexed = lsh_index(df, vec_col, key_col, n_planes, seed, dim)
     # Co-locate each bucket in one task before the dynamic-partition write:
     # one output file per bucket instead of (tasks × buckets) tiny files —
     # both the build and every subsequent probe scan touch far fewer files.
     indexed.repartition("bucket").write.mode("overwrite").partitionBy("bucket").parquet(path)
+    with open(os.path.join(path, "_meta.json"), "w") as f:
+        json.dump(
+            {"n_planes": n_planes, "seed": seed, "dim": dim,
+             "vec_col": vec_col, "key_col": key_col},
+            f,
+        )
     return path
 
 
@@ -204,20 +216,38 @@ def lsh_topk(
     radius: int = 1,
 ) -> DataFrame:
     """ANN top-k over an indexed DataFrame (bucket column attached):
-    scan only the query's bucket and its Hamming-``radius`` neighbors."""
+    scan only the query's bucket and its Hamming-``radius`` neighbors.
+
+    The query vector is inlined as a LITERAL array expression — no
+    createDataFrame, no broadcast-exchange stage: a steady-state probe is
+    one pruned scan + TakeOrderedAndProject, nothing else. Arithmetic is
+    identical to the crossJoin form (same zip_with/aggregate fold over the
+    same doubles), so oracles and recall are unchanged."""
     dim = len(query_vec)
     planes = hyperplanes(dim, n_planes, seed)
     probes = probe_buckets(query_vec, planes, radius)
-    vec_type = dict(indexed.dtypes)[vec_col]  # match the data's precision
-    qdf = indexed.sparkSession.createDataFrame(
-        [(list(map(float, query_vec)),)], f"_q {vec_type}"
-    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
     candidates = indexed.filter(F.col("bucket").isin(probes))
-    scored = candidates.crossJoin(F.broadcast(qdf)).select(
+    scored = candidates.withColumn("_q", q).select(
         F.col(key_col),
         F.round(_cosine_expr(vec_col, "_q"), 6).alias("cosine"),
     )
     return scored.orderBy(F.col("cosine").desc(), F.col(key_col)).limit(k)
+
+
+# (session id, index path) -> DataFrame: re-probing an index skips the
+# file-listing/schema job — the InMemoryFileIndex inside the cached
+# DataFrame is reused, so a steady-state probe is ONE Spark job.
+_INDEX_DF_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _read_index(spark: SparkSession, path: str) -> DataFrame:
+    key = (id(spark), path)
+    df = _INDEX_DF_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(path)
+        _INDEX_DF_CACHE[key] = df
+    return df
 
 
 def lsh_topk_indexed(
@@ -233,6 +263,16 @@ def lsh_topk_indexed(
 ) -> DataFrame:
     """ANN top-k against a MATERIALIZED index: the bucket filter lands on
     the parquet partition column, so only probe directories are read
-    (verify with .explain(): PartitionFilters, not a full scan)."""
-    indexed = spark.read.parquet(path)
+    (verify with .explain(): PartitionFilters, not a full scan). When the
+    index carries ``_meta.json`` (written by build_lsh_index), its pinned
+    plane parameters override the arguments — probe/build drift is
+    impossible."""
+    meta_path = os.path.join(path, "_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        n_planes, seed = meta["n_planes"], meta["seed"]
+        vec_col = meta.get("vec_col", vec_col)
+        key_col = meta.get("key_col", key_col)
+    indexed = _read_index(spark, path)
     return lsh_topk(indexed, query_vec, k, vec_col, key_col, n_planes, seed, radius)

@@ -123,6 +123,10 @@ def _arrow_target_type(meta: dict) -> pa.DataType:
     if meta.get("halffloat"):
         return pa.float32()  # lossless widening; Spark has no half
     token = meta["codec_meta"]["dtype"]
+    if token.startswith("timestamp[") and "tz=" in token:
+        # tz-aware (Spark TimestampType / INT96-sourced): Spark's unit is us
+        tz = token.split(",tz=")[1].rstrip("]")
+        return pa.timestamp("us", tz)
     return _TOKEN_CAST.get(token, dtypes.arrow_type(token))
 
 
@@ -145,6 +149,8 @@ def _spark_type(meta: dict) -> str:
     if meta.get("halffloat"):
         return "float"
     token = codec_meta["dtype"]
+    if token.startswith("timestamp[") and "tz=" in token:
+        return "timestamp"  # Spark TimestampType (LTZ)
     return _TOKEN_TO_SPARK[token]
 
 

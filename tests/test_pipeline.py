@@ -479,3 +479,91 @@ def test_verify_store_rejects_foreign_store(spark, tmp_path):
 
     with pytest.raises(ValueError, match="store_config"):
         verify_store(spark, str(tmp_path / "not_a_store"))
+
+
+def test_codec_overrides_pin_manifest_codecs(spark, tmp_path):
+    """codec_overrides must land in the manifests verbatim — the guarantee
+    that the forced-codec oracle queries keep exercising the pinned kernels
+    even if the selector's preferences change."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from parzig_spark.operators import decode_table, encode_table
+    from parzig_spark.plans.manifest import ManifestStore
+
+    src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        "o_orderkey",
+        F.pmod(F.col("o_orderkey"), F.lit(16)).cast("int").alias("key_mod"),
+        "o_orderpriority",
+        "o_totalprice",
+        "o_orderstatus",
+    )
+    root = str(tmp_path / "forced")
+    overrides = {
+        "key_mod": "bitpack",
+        "o_orderpriority": "delta_byte",
+        "o_totalprice": "byte_stream_split",
+    }
+    encode_table(
+        src, root, group_cols=["o_orderstatus"], salt_cols=["o_orderkey"],
+        resume=False, outer="snappy", codec_overrides=overrides,
+    ).count()
+    store = ManifestStore(root)
+    mf = store.read_manifests()
+    by_col = {}
+    outers = {}
+    for row in mf.to_pylist():
+        by_col.setdefault(row["column"], set()).add(row["codec"])
+        meta = json.loads(row["meta_json"])
+        if "outer" in meta:
+            outers.setdefault(row["column"], set()).add(meta["outer"]["codec"])
+        assert json.loads(row["lineage_json"]) == {"plan": "override"} or row["column"] not in overrides
+    for col, codec in overrides.items():
+        assert by_col[col] == {codec}, (col, by_col[col])
+    # the compressible delta_byte text payload must actually store snappy
+    assert outers.get("o_orderpriority") == {"snappy"}
+    # and the store decodes bit-exact
+    dec = decode_table(spark, root)
+    assert dec.count() == src.count()
+    s = src.agg(F.sum("key_mod"), F.sum(F.floor(F.col("o_totalprice") * 100))).first()
+    d = dec.agg(F.sum("key_mod"), F.sum(F.floor(F.col("o_totalprice") * 100))).first()
+    assert tuple(s) == tuple(d)
+
+
+def test_int96_timestamp_ingestion(spark, tmp_path):
+    """Legacy INT96 parquet timestamps ingest at the source boundary
+    (the reference decodes i96 at /root/reference/src/parquet/dynamic.zig:6-58):
+    a pyarrow-written INT96 file round-trips through the engine, via both
+    the Arrow-side codec path (bit-exact in ns) and the Spark pipeline."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from parzig_spark.codecs import decode_column, dtypes, encode_column
+    from parzig_spark.operators import decode_table, encode_table
+
+    ts = pa.array([1_600_000_000_000_000 + i * 7 for i in range(200)], pa.timestamp("us"))
+    t = pa.table({"k": pa.array(range(200), pa.int64()), "ts": ts})
+    p = str(tmp_path / "int96.parquet")
+    pq.write_table(t, p, use_deprecated_int96_timestamps=True)
+
+    # Arrow-side: INT96 reads back as timestamp[ns]; codecs store it bit-exact
+    rt = pq.read_table(p)
+    assert rt.column("ts").type == pa.timestamp("ns")
+    col = rt.column("ts").combine_chunks()
+    blob, meta = encode_column(col, "for")
+    assert decode_column(blob, meta).equals(col)
+    # source-boundary normalization: ns → us for Spark-bound pipelines
+    norm = dtypes.normalize_ingest(rt)
+    assert norm.column("ts").type == pa.timestamp("us")
+    assert norm.column("ts").combine_chunks().equals(ts)
+
+    # Spark pipeline end to end
+    df = spark.read.parquet(p).withColumn("grp", F.pmod("k", F.lit(4)).cast("int"))
+    root = str(tmp_path / "i96store")
+    encode_table(df, root, group_cols=["grp"], salt_cols=["k"], resume=False).count()
+    dec = decode_table(spark, root)
+    src = {r["k"]: r["ts"] for r in df.collect()}
+    got = {r["k"]: r["ts"] for r in dec.collect()}
+    assert src == got

@@ -91,8 +91,14 @@ def main() -> None:
     if 2 in results and 8 in results:
         results[8]["pair_eff_2_8"] = pair_eff
     if 32 not in results:
+        import statistics
+
         mode = "_cluster" if os.environ.get("SPARK_GRAFT_SCALING_MODE") == "cluster" else ""
+        med = {k: round(statistics.median(v), 3) for k, v in pair_eff.items() if v}
+        if 8 in results:
+            results[8]["pair_eff_median_2_8"] = med
         print("pair-only run; per-rep 2→8 efficiencies:", json.dumps(pair_eff))
+        print("per-rep 2→8 efficiency MEDIANS:", json.dumps(med))
         for cpus, r in results.items():
             path = os.path.join(REPO, "BENCH", f"scaling_pair_local{cpus}{mode}.json")
             with open(path, "w") as f:

@@ -101,6 +101,15 @@ def main() -> None:
         "away before any blob is opened (decode-side Statistics skipping).",
     )
 
+    grab(
+        "String-predicate decode pruning (truncated-sound bounds)",
+        decode_table(spark, store_root, predicates=[("lang", "==", "zh")]),
+        "Same anti-join shape driven by STRING stats: a truncated 16-code-point "
+        "lower bound and a truncated-then-incremented upper bound (Parquet "
+        "Statistics semantics) — equality on `lang` prunes every partition whose "
+        "string range excludes the value.",
+    )
+
     out = "# EXPLAIN — physical plans of the key dataflows\n\n" + "\n".join(sections)
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "EXPLAIN.md")
     with open(path, "w") as f:

@@ -29,18 +29,19 @@ PREFIX_CAP = 64
 
 
 def _first_bytes_matrix(lengths: np.ndarray, data: np.ndarray) -> np.ndarray:
-    """(n, PREFIX_CAP) matrix of each value's first bytes (zero-padded)."""
+    """(n, PREFIX_CAP) matrix of each value's first bytes.
+
+    ONE windowed gather (sliding_window_view + row fancy-index) — no index
+    matrix, no validity masking. Rows may carry the next value's bytes past
+    their own length; that is sound because the caller bounds every prefix
+    by min(len_i, len_{i-1}) ≤ PREFIX_CAP, and positions below that cap are
+    real bytes of both values."""
     n = len(lengths)
     offsets = np.zeros(n, dtype=np.int64)
     np.cumsum(lengths[:-1], out=offsets[1:])
-    k = np.arange(PREFIX_CAP, dtype=np.int64)
-    idx = offsets[:, None] + k[None, :]
-    valid = k[None, :] < lengths[:, None]
     padded = np.zeros(max(len(data), 1) + PREFIX_CAP, dtype=np.uint8)
     padded[: len(data)] = data
-    m = padded[np.where(valid, idx, 0)]
-    m[~valid] = 0
-    return m
+    return np.lib.stride_tricks.sliding_window_view(padded, PREFIX_CAP)[offsets]
 
 
 def encode(arr: pa.Array) -> tuple[bytes, dict]:
@@ -54,7 +55,11 @@ def encode(arr: pa.Array) -> tuple[bytes, dict]:
     else:
         m = _first_bytes_matrix(lengths, data)
         eq = m[1:] == m[:-1]
-        run = np.cumprod(eq, axis=1, dtype=np.int64).sum(axis=1)
+        # leading-equal count per row = index of the first mismatch
+        # (argmin on the bool row; all-equal rows need the explicit cap) —
+        # two reductions instead of a cumprod+sum pass
+        run = np.argmin(eq, axis=1)
+        run[eq.all(axis=1)] = PREFIX_CAP
         cap = np.minimum(lengths[1:], lengths[:-1])
         prefix = np.concatenate(([0], np.minimum(run, np.minimum(cap, PREFIX_CAP))))
     suffix_lens = lengths - prefix
@@ -63,10 +68,13 @@ def encode(arr: pa.Array) -> tuple[bytes, dict]:
     offsets = np.zeros(n, dtype=np.int64)
     if n:
         np.cumsum(lengths[:-1], out=offsets[1:])
-    d = np.zeros(total + 1, dtype=np.int64)
+    # prefix regions [off_i, off_i+prefix_i) are disjoint (each lies inside
+    # its own value's span), so the running sum is only ever 0/1 — int8
+    # lanes cut the diff-mask cumsum traffic 8×
+    d = np.zeros(total + 1, dtype=np.int8)
     np.add.at(d, offsets, 1)
     np.add.at(d, offsets + prefix, -1)
-    keep = np.cumsum(d[:total]) == 0
+    keep = np.cumsum(d[:total], dtype=np.int8) == 0
     suffix_data = data[keep]
     p_blob, p_meta = delta_for.encode(pa.array(prefix, pa.int64()), mode="for")
     s_blob, s_meta = delta_for.encode(pa.array(suffix_lens, pa.int64()), mode="for")
@@ -95,10 +103,10 @@ def decode(blob, meta: dict, n: int) -> pa.Array:
         np.cumsum(lengths[:-1], out=offsets[1:])
     # Scatter suffix bytes into their final positions (complement of the
     # prefix regions — same diff-mask as encode).
-    d = np.zeros(total + 1, dtype=np.int64)
+    d = np.zeros(total + 1, dtype=np.int8)  # disjoint regions: sum stays 0/1
     np.add.at(d, offsets, 1)
     np.add.at(d, offsets + prefix, -1)
-    is_suffix = np.cumsum(d[:total]) == 0
+    is_suffix = np.cumsum(d[:total], dtype=np.int8) == 0
     out[is_suffix] = suffix_data
     if n and prefix.max() > 0:
         # Column-wise forward-fill for the first PREFIX_CAP byte positions.

@@ -261,10 +261,13 @@ def decode_table(
     manifests = spark.read.parquet(snap).select(
         "pid", "column", "meta_json", "stat_min", "stat_max"
     )
-    if columns is not None:
-        manifests = manifests.filter(F.col("column").isin(columns))
+    # Prune BEFORE the projection filter: a predicate on a non-projected
+    # column (SELECT doc_id WHERE lang = 'zh') must still see that column's
+    # stats rows to drop partitions.
     if predicates:
         manifests = prune_manifests(manifests, predicates)
+    if columns is not None:
+        manifests = manifests.filter(F.col("column").isin(columns))
     manifests = manifests.drop("stat_min", "stat_max").repartition(
         spark.sparkContext.defaultParallelism * 2, "pid"
     )

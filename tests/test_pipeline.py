@@ -567,3 +567,26 @@ def test_int96_timestamp_ingestion(spark, tmp_path):
     src = {r["k"]: r["ts"] for r in df.collect()}
     got = {r["k"]: r["ts"] for r in dec.collect()}
     assert src == got
+
+
+def test_prune_with_column_projection(spark, tmp_path):
+    """A predicate on a NON-projected column must still prune partitions
+    (stats rows are consulted before the projection filter drops them)."""
+    from pyspark.sql import functions as F
+
+    from parzig_spark.operators import decode_table, encode_table
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    root = str(tmp_path / "projprune")
+    encode_table(
+        docs, root, group_cols=["lang"], salt_cols=["doc_id"],
+        size_col="text", target_bytes=64 << 10, resume=False,
+    ).count()
+    dec = decode_table(
+        spark, root, columns=["doc_id"], predicates=[("lang", "==", "zh")]
+    )
+    assert dec.columns == ["doc_id"]
+    got = {r["doc_id"] for r in dec.collect()}
+    want = {r["doc_id"] for r in docs.filter(F.col("lang") == "zh").collect()}
+    assert want <= got  # pruning is partition-granular: no qualifying row lost
+    assert len(got) < docs.count()  # and it actually pruned

@@ -130,3 +130,29 @@ def test_float16_roundtrip_any(values, codec):
     blob, meta = encode_column(h, codec)
     out = decode_column(blob, meta)
     assert out.view(pa.uint16()).equals(h.view(pa.uint16()))
+
+
+@given(
+    st.lists(st.text(min_size=0, max_size=40), min_size=1, max_size=50),
+    st.text(min_size=0, max_size=40),
+)
+@settings(max_examples=200, deadline=None)
+def test_string_stats_bounds_sound(values, probe):
+    """Property: for ANY string column, every value lies within the
+    recorded truncated bounds — the soundness invariant partition pruning
+    depends on (an unsound bound silently drops rows)."""
+    import pyarrow as pa
+
+    from parzig_spark.operators.encode import column_minmax
+
+    arr = pa.array(values, pa.string())
+    lo, hi = column_minmax(arr)
+    assert lo is not None
+    for v in values:
+        assert lo <= v
+        if hi is not None:
+            assert v <= hi
+    # and the pruning decision itself: if probe is outside [lo, hi], no
+    # value can equal probe (the equality-exclusion rule)
+    if hi is not None and (probe < lo or probe > hi):
+        assert probe not in values

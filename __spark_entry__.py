@@ -123,6 +123,78 @@ def _ann_recall_sql() -> str:
     """
 
 
+def _ivf_oracle_centroids():
+    """The oracle's twin of build_ivf_index's quantizer training: the same
+    deterministic sample (vec_id 1..256, sorted) read straight from the
+    parquet, through the same numpy k-means — bit-identical centroids,
+    embedded in the SQL as literals (like the LSH plane literals, but
+    data-derived). The sf dir must match where the driver runs the oracle:
+    sf0.01 by default, overridable via SPARK_GRAFT_ORACLE_SF_DIR (set by
+    jobs/check_oracles.py)."""
+    import duckdb as _duckdb
+    import numpy as np
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    rows = _duckdb.sql(
+        f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        "WHERE vec_id != 0 ORDER BY vec_id LIMIT 256"
+    ).fetchall()
+    mat = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    return sim.ivf_centroids(mat, 16, 8, 42)
+
+
+def _ivf_sql(nprobe: int = 4, k: int = 20) -> str:
+    """SQL twin of the IVF probe: same centroid literals, same
+    left-associated ``||c||² − 2·(v·c)`` score fold, first-wins argmin via
+    list_position(list_min), probe set = nprobe lowest query scores."""
+    import numpy as np
+
+    cents = _ivf_oracle_centroids()
+
+    def dot(col, c):
+        return " + ".join(f"{col}[{j + 1}] * {float(w)!r}" for j, w in enumerate(c))
+
+    def score(col, c):
+        return f"{float(np.dot(c, c))!r} - 2.0 * ({dot(col, c)})"
+
+    scores_list = "[" + ",\n                 ".join(score("v", c) for c in cents) + "]"
+    qsc = "\n          UNION ALL ".join(
+        f"SELECT {j} AS cid, {score('qv', c)} AS s FROM q" for j, c in enumerate(cents)
+    )
+    return f"""
+        WITH q AS (
+          SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+        ), e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id != 0
+        ), es AS (
+          SELECT vec_id, v, {scores_list} AS sc FROM e
+        ), eb AS (
+          SELECT vec_id, v, list_position(sc, list_min(sc)) - 1 AS cluster FROM es
+        ), qsc AS (
+          {qsc}
+        ), probes AS (SELECT cid FROM qsc ORDER BY s, cid LIMIT {nprobe})
+        SELECT eb.vec_id, round(list_cosine_similarity(eb.v, qb.qv), 6) AS cosine
+        FROM eb, q qb
+        WHERE eb.cluster IN (SELECT cid FROM probes)
+        ORDER BY cosine DESC, vec_id LIMIT {k}
+    """
+
+
+def _ivf_recall_sql() -> str:
+    return f"""
+        WITH ivf AS ({_ivf_sql()}),
+             brute AS (
+               SELECT vec_id
+               FROM embeddings, (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
+               WHERE vec_id != 0
+               ORDER BY round(list_cosine_similarity(embedding, q), 6) DESC, vec_id
+               LIMIT 20
+             )
+        SELECT CAST(count(*) AS DOUBLE) / 20.0 AS recall_at_20
+        FROM ivf JOIN brute USING (vec_id)
+    """
+
+
 def _embedding_near_dups_sql() -> str:
     planes = sim.hyperplanes(64, 6, 42)
     return f"""
@@ -679,6 +751,42 @@ def q_ann_lsh_topk(spark, sf_dir):
     return sim.lsh_topk_indexed(spark, path, qvec, k=20, radius=1)
 
 
+_IVF_INDEX_CACHE: dict[str, tuple[str, list]] = {}
+
+
+def _ivf_index_for(spark, sf_dir: str) -> tuple[str, list]:
+    """Materialized cluster-partitioned IVF index + cached query vector
+    (build-once/probe-many, like the LSH index)."""
+    cached = _IVF_INDEX_CACHE.get(sf_dir)
+    if cached is None:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+        path = tempfile.mkdtemp(prefix="parzig_ivfidx_")
+        sim.build_ivf_index(emb.filter(F.col("vec_id") != 0), path, k_clusters=16)
+        cached = (path, list(qrow["embedding"]))
+        _IVF_INDEX_CACHE[sf_dir] = cached
+    return cached
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN probe: data-adaptive k-means cells (vs the LSH path's random
+    hyperplanes), materialized parquet partitionBy(cluster), probe = scan
+    of the nprobe nearest cells only."""
+    path, qvec = _ivf_index_for(spark, sf_dir)
+    return sim.ivf_topk_indexed(spark, path, qvec, k=20, nprobe=4)
+
+
+def q_ann_ivf_recall(spark, sf_dir):
+    """Recall@20 of the IVF probe against exact brute force, oracle-gated
+    end to end (quantizer training, assignment, probe selection, and the
+    recall arithmetic all have DuckDB twins)."""
+    brute = q_ann_cosine_topk(spark, sf_dir).select("vec_id")
+    ivf = q_ann_ivf_topk(spark, sf_dir).select("vec_id")
+    return ivf.intersect(brute).agg(
+        (F.count(F.lit(1)) / F.lit(20.0)).alias("recall_at_20")
+    )
+
+
 def q_ann_lsh_recall(spark, sf_dir):
     """Recall@20 of the materialized-index ANN probe against the exact
     brute-force top-20 — both sides fully SQL-expressible, so the quality
@@ -860,6 +968,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_lsh_recall": q_ann_lsh_recall,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_recall": q_ann_ivf_recall,
         "embedding_near_dups": q_embedding_near_dups,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "multimodal_metadata": q_multimodal_metadata,
@@ -1003,6 +1113,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_verified": _ngram_jaccard_verified_sql(),
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_lsh_recall": _ann_recall_sql(),
+        "ann_ivf_topk": _ivf_sql(),
+        "ann_ivf_recall": _ivf_recall_sql(),
         "embedding_near_dups": _embedding_near_dups_sql(),
         "ngram_jaccard_pairs": r"""
             WITH s AS (

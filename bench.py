@@ -77,6 +77,7 @@ def main() -> None:
         "simhash",
         "ann_cosine_topk",
         "ann_lsh_topk",
+        "ann_ivf_topk",
         "embedding_near_dups",
         "roundtrip_documents",
         "roundtrip_lineitem_q1",

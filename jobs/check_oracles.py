@@ -44,6 +44,10 @@ def value_hash(df: pd.DataFrame) -> str:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # data-derived oracles (IVF centroid literals) must be generated from
+    # the same corpus the queries read; the driver's gate runs at sf0.01
+    # (the entry-point default), this harness can point anywhere
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
 
     import __spark_entry__ as entrymod
     from parzig_spark.session import get_spark

@@ -250,6 +250,131 @@ def _read_index(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+# ---------------------------------------------------------------------------
+# IVF — inverted-file ANN (coarse k-means quantizer + cluster-pruned probe)
+# ---------------------------------------------------------------------------
+
+
+def ivf_centroids(mat: np.ndarray, k: int, iters: int = 8, seed: int = 42) -> np.ndarray:
+    """Deterministic Lloyd's k-means on a bounded sample (float64).
+
+    Runs driver-side on a few hundred sampled vectors — the standard IVF
+    recipe (train coarse quantizer on a sample, assign the full corpus
+    distributed). Same input rows ⇒ bit-identical centroids, which the
+    DuckDB oracle relies on (it re-derives them from the same sorted
+    sample and embeds them as literals)."""
+    mat = np.asarray(mat, dtype=np.float64)
+    n = len(mat)
+    k = min(k, n)
+    rng = np.random.default_rng(seed)
+    centroids = mat[rng.choice(n, size=k, replace=False)].copy()
+    for _ in range(iters):
+        d2 = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)
+        for j in range(k):
+            members = mat[assign == j]
+            if len(members):
+                centroids[j] = members.mean(axis=0)
+    return centroids
+
+
+def _centroid_score_expr(vec_col: str, centroid: np.ndarray):
+    """Catalyst distance score to one centroid: ||c||² − 2·(v·c) — the
+    argmin-equivalent of squared L2 (the ||v||² term is centroid-invariant).
+    Left-associated double fold, so the SQL twin restated with the same
+    literals reproduces identical doubles."""
+    weights = F.array(*[F.lit(float(w)) for w in centroid])
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col), weights, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    c2 = float(np.dot(centroid, centroid))
+    return F.lit(c2) - F.lit(2.0) * dot
+
+
+def ivf_cluster_expr(vec_col: str, centroids: np.ndarray):
+    """Cluster id = index of the minimum centroid score (first-wins ties —
+    array_position returns the FIRST match, same as DuckDB list_position)."""
+    scores = F.array(*[_centroid_score_expr(vec_col, c) for c in centroids])
+    return (F.array_position(scores, F.array_min(scores)) - 1).cast("int")
+
+
+def _centroid_score_py(vec, centroid: np.ndarray) -> float:
+    dot = 0.0
+    for x, w in zip(vec, centroid):
+        dot = dot + float(x) * float(w)
+    return float(np.dot(centroid, centroid)) - 2.0 * dot
+
+
+def ivf_probe_clusters(query_vec, centroids: np.ndarray, nprobe: int) -> list[int]:
+    """The nprobe nearest clusters to the query (driver-side twin of the
+    same fold; ties break on cluster id)."""
+    scored = sorted(
+        (( _centroid_score_py(query_vec, c), j) for j, c in enumerate(centroids)),
+    )
+    return sorted(j for _, j in scored[:nprobe])
+
+
+def build_ivf_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    k_clusters: int = 16,
+    sample_limit: int = 256,
+    iters: int = 8,
+    seed: int = 42,
+) -> str:
+    """MATERIALIZE an IVF index: train the coarse quantizer on a bounded
+    deterministic sample (lowest ``sample_limit`` keys, sorted), assign
+    every vector its nearest-centroid cluster with pure Catalyst
+    expressions, write parquet ``partitionBy(cluster)``. Probes read only
+    ``nprobe`` cluster directories — the same storage-level pruning shape
+    as the LSH index, with data-adaptive cells instead of random
+    hyperplanes."""
+    sample_rows = (
+        df.select(key_col, vec_col).orderBy(key_col).limit(sample_limit).collect()
+    )
+    mat = np.array([list(r[vec_col]) for r in sample_rows], dtype=np.float64)
+    centroids = ivf_centroids(mat, k_clusters, iters, seed)
+    indexed = df.select(key_col, vec_col).withColumn(
+        "cluster", ivf_cluster_expr(vec_col, centroids)
+    )
+    indexed.repartition("cluster").write.mode("overwrite").partitionBy("cluster").parquet(path)
+    with open(os.path.join(path, "_meta.json"), "w") as f:
+        json.dump(
+            {"kind": "ivf", "centroids": [[float(x) for x in c] for c in centroids],
+             "vec_col": vec_col, "key_col": key_col},
+            f,
+        )
+    return path
+
+
+def ivf_topk_indexed(
+    spark: SparkSession,
+    path: str,
+    query_vec: list[float],
+    k: int = 20,
+    nprobe: int = 4,
+) -> DataFrame:
+    """ANN top-k against a materialized IVF index: scan only the nprobe
+    nearest cluster directories (PartitionFilters on `cluster`), score with
+    the literal-query cosine — one pruned-scan job per probe."""
+    with open(os.path.join(path, "_meta.json")) as f:
+        meta = json.load(f)
+    centroids = np.array(meta["centroids"], dtype=np.float64)
+    vec_col, key_col = meta["vec_col"], meta["key_col"]
+    probes = ivf_probe_clusters(query_vec, centroids, nprobe)
+    indexed = _read_index(spark, path)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = indexed.filter(F.col("cluster").isin(probes)).withColumn("_q", q).select(
+        F.col(key_col),
+        F.round(_cosine_expr(vec_col, "_q"), 6).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(key_col)).limit(k)
+
+
 def lsh_topk_indexed(
     spark: SparkSession,
     path: str,

@@ -204,3 +204,36 @@ def test_embedding_near_dups_zero_vector_no_nan_pairs(spark):
     got = {(r["key_a"], r["key_b"]) for r in pairs.collect()}
     assert (0, 1) not in got  # zero-vector pair must not surface as NaN
     assert (2, 3) in got  # identical real vectors still match
+
+
+def test_ivf_index_partition_pruning_and_recall(spark, tmp_path):
+    """The materialized IVF index prunes cluster partitions at the source
+    (PartitionFilters on `cluster`), the quantizer is deterministic, and a
+    planted near-duplicate of the query lands in the ANN top-k."""
+    import numpy as np
+
+    from parzig_spark.functions import similarity as sim
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(300, 16)).astype(np.float32)
+    query = vecs[0].tolist()
+    planted = (vecs[0] + rng.normal(scale=1e-3, size=16).astype(np.float32)).tolist()
+    rows = [(i + 1, [float(x) for x in vecs[i]]) for i in range(300)]
+    rows.append((999, [float(x) for x in planted]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    path = str(tmp_path / "ivfidx")
+    sim.build_ivf_index(df, path, k_clusters=8, sample_limit=128)
+
+    # quantizer determinism: same sample rows -> bit-identical centroids
+    mat = np.array([r[1] for r in rows[:128]], dtype=np.float64)
+    c1 = sim.ivf_centroids(mat, 8)
+    c2 = sim.ivf_centroids(mat, 8)
+    assert (c1 == c2).all()
+
+    probe = sim.ivf_topk_indexed(spark, path, query, k=10, nprobe=3)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster" in plan, plan[:2000]
+    keys = [r["vec_id"] for r in probe.collect()]
+    # query (vec_id=1) and its planted twin share a cell by construction
+    assert 1 in keys and 999 in keys, keys
+    assert keys[0] in (1, 999)

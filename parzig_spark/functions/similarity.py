@@ -181,6 +181,7 @@ def build_lsh_index(
     # one output file per bucket instead of (tasks × buckets) tiny files —
     # both the build and every subsequent probe scan touch far fewer files.
     indexed.repartition("bucket").write.mode("overwrite").partitionBy("bucket").parquet(path)
+    _INDEX_DF_CACHE.pop((id(df.sparkSession), path), None)  # rebuild invalidates
     with open(os.path.join(path, "_meta.json"), "w") as f:
         json.dump(
             {"n_planes": n_planes, "seed": seed, "dim": dim,
@@ -342,6 +343,7 @@ def build_ivf_index(
         "cluster", ivf_cluster_expr(vec_col, centroids)
     )
     indexed.repartition("cluster").write.mode("overwrite").partitionBy("cluster").parquet(path)
+    _INDEX_DF_CACHE.pop((id(df.sparkSession), path), None)  # rebuild invalidates
     with open(os.path.join(path, "_meta.json"), "w") as f:
         json.dump(
             {"kind": "ivf", "centroids": [[float(x) for x in c] for c in centroids],

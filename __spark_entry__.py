@@ -585,6 +585,36 @@ def q_roundtrip_pruned_lang(spark, sf_dir):
     )
 
 
+def q_streaming_window(spark, sf_dir):
+    """Structured Streaming surface, oracle-gated: the watermarked tumbling
+    window aggregation (streaming/encode_stream.py windowed_event_counts)
+    run as an availableNow stream over the events table into a memory sink
+    — bit-identical to the batch SQL twin (one batch ⇒ nothing is late, so
+    the watermark semantics reduce to the exact aggregation)."""
+    import shutil
+    import uuid
+
+    from parzig_spark.streaming import windowed_event_counts
+
+    src_file = f"{sf_dir}/events.parquet"
+    d = tempfile.mkdtemp(prefix="parzig_stream_src_")
+    shutil.copy(src_file, os.path.join(d, "events.parquet"))
+    schema = spark.read.parquet(src_file).schema
+    stream = spark.readStream.schema(schema).parquet(d)
+    qname = "stream_win_" + uuid.uuid4().hex[:8]
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return spark.table(qname).orderBy("wstart", "event_type")
+
+
 def _encode_summary(spark, sf_dir):
     src = spark.read.parquet(f"{sf_dir}/documents.parquet")
     root = tempfile.mkdtemp(prefix="parzig_summary_")
@@ -954,6 +984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_pruned_lang": q_roundtrip_pruned_lang,
         "compression_summary": q_compression_summary,
         "compression_bytes": q_compression_bytes,
+        "streaming_window": q_streaming_window,
         "tpch_q1": q_tpch_q1,
         "join_segment_revenue": q_join_segment_revenue,
         "dedup_exact": q_dedup_exact,
@@ -1045,6 +1076,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT col AS "column", (SELECT count(*) FROM documents) AS n_values
             FROM (VALUES ('doc_id'), ('lang'), ('n_chars'), ('source'), ('text')) t(col)
             ORDER BY 1
+        """,
+        "streaming_window": """
+            SELECT date_trunc('hour', ts) AS wstart, event_type,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,

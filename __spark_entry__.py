@@ -360,8 +360,13 @@ def _ngram_jaccard_verified_sql(cap: int = 256, threshold: float = 0.8) -> str:
     """
 
 
-def _roundtrip(spark: SparkSession, sf_dir: str, table: str, group_cols, salt_cols, size_col=None) -> DataFrame:
-    """Encode a testdata table into a fresh store, decode it back."""
+def _roundtrip(spark: SparkSession, sf_dir: str, table: str, group_cols, salt_cols, size_col=None, sort_cols=None) -> DataFrame:
+    """Encode a testdata table into a fresh store, decode it back.
+
+    ``sort_cols``: pass the table's unique key where one exists — the
+    canonical in-bucket order only needs a deterministic total order, and
+    sorting by one key column instead of every scalar column cuts the
+    per-bucket sort cost (the dominant non-codec encode work)."""
     src = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     root = tempfile.mkdtemp(prefix=f"parzig_{table}_")
     encode_table(
@@ -370,6 +375,7 @@ def _roundtrip(spark: SparkSession, sf_dir: str, table: str, group_cols, salt_co
         group_cols=group_cols,
         salt_cols=salt_cols,
         size_col=size_col,
+        sort_cols=sort_cols,
         target_bytes=32 << 20,
         resume=False,
     ).count()  # materialize = run the encode
@@ -386,7 +392,7 @@ def _floor_cents(col):
 
 
 def q_roundtrip_documents(spark, sf_dir):
-    dec = _roundtrip(spark, sf_dir, "documents", ["lang", "source"], ["doc_id"], "text")
+    dec = _roundtrip(spark, sf_dir, "documents", ["lang", "source"], ["doc_id"], "text", sort_cols=["doc_id"])
     return dec.select(
         "doc_id",
         "lang",
@@ -397,7 +403,7 @@ def q_roundtrip_documents(spark, sf_dir):
 
 
 def q_roundtrip_lineitem_q1(spark, sf_dir):
-    dec = _roundtrip(spark, sf_dir, "lineitem", ["l_returnflag", "l_linestatus"], ["l_orderkey"])
+    dec = _roundtrip(spark, sf_dir, "lineitem", ["l_returnflag", "l_linestatus"], ["l_orderkey"], sort_cols=["l_orderkey", "l_linenumber"])
     return (
         dec.groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -413,7 +419,7 @@ def q_roundtrip_lineitem_q1(spark, sf_dir):
 
 
 def q_roundtrip_orders(spark, sf_dir):
-    dec = _roundtrip(spark, sf_dir, "orders", ["o_orderpriority", "o_orderstatus"], ["o_orderkey"])
+    dec = _roundtrip(spark, sf_dir, "orders", ["o_orderpriority", "o_orderstatus"], ["o_orderkey"], sort_cols=["o_orderkey"])
     return (
         dec.groupBy("o_orderpriority")
         .agg(
@@ -457,7 +463,7 @@ def q_roundtrip_pruned(spark, sf_dir):
 
 
 def q_roundtrip_events_window(spark, sf_dir):
-    dec = _roundtrip(spark, sf_dir, "events", ["event_type"], ["event_id"])
+    dec = _roundtrip(spark, sf_dir, "events", ["event_type"], ["event_id"], sort_cols=["event_id"])
     return (
         dec.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
         .agg(
@@ -880,7 +886,7 @@ def q_multimodal_features(spark, sf_dir):
 
 
 def q_roundtrip_embeddings(spark, sf_dir):
-    dec = _roundtrip(spark, sf_dir, "embeddings", ["label"], ["vec_id"])
+    dec = _roundtrip(spark, sf_dir, "embeddings", ["label"], ["vec_id"], sort_cols=["vec_id"])
     return dec.select(
         "vec_id",
         "label",

@@ -123,18 +123,29 @@ def _ann_recall_sql() -> str:
     """
 
 
-def _ivf_oracle_centroids():
+def _ivf_oracle_centroids(sf_dir: str | None = None):
     """The oracle's twin of build_ivf_index's quantizer training: the same
     deterministic sample (vec_id 1..256, sorted) read straight from the
     parquet, through the same numpy k-means — bit-identical centroids,
     embedded in the SQL as literals (like the LSH plane literals, but
-    data-derived). The sf dir must match where the driver runs the oracle:
-    sf0.01 by default, overridable via SPARK_GRAFT_ORACLE_SF_DIR (set by
-    jobs/check_oracles.py)."""
+    data-derived). The sf dir MUST be the corpus the oracle runs against:
+    pass it explicitly via ``oracle_sql(sf_dir=...)`` (jobs/check_oracles.py
+    does); callers that invoke the zero-arg driver contract fall back to
+    SPARK_GRAFT_ORACLE_SF_DIR, then to the driver gate's sf0.01 default."""
     import duckdb as _duckdb
     import numpy as np
 
-    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    sf_dir = (
+        sf_dir
+        or os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR")
+        or "/root/testdata/sf0.01"
+    )
+    if not os.path.exists(f"{sf_dir}/embeddings.parquet"):
+        raise FileNotFoundError(
+            f"IVF oracle needs {sf_dir}/embeddings.parquet — pass "
+            "oracle_sql(sf_dir=...) or set SPARK_GRAFT_ORACLE_SF_DIR to the "
+            "corpus the oracle SQL will run against"
+        )
     rows = _duckdb.sql(
         f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
         "WHERE vec_id != 0 ORDER BY vec_id LIMIT 256"
@@ -143,13 +154,13 @@ def _ivf_oracle_centroids():
     return sim.ivf_centroids(mat, 16, 8, 42)
 
 
-def _ivf_sql(nprobe: int = 4, k: int = 20) -> str:
+def _ivf_sql(nprobe: int = 4, k: int = 20, sf_dir: str | None = None) -> str:
     """SQL twin of the IVF probe: same centroid literals, same
     left-associated ``||c||² − 2·(v·c)`` score fold, first-wins argmin via
     list_position(list_min), probe set = nprobe lowest query scores."""
     import numpy as np
 
-    cents = _ivf_oracle_centroids()
+    cents = _ivf_oracle_centroids(sf_dir)
 
     def dot(col, c):
         return " + ".join(f"{col}[{j + 1}] * {float(w)!r}" for j, w in enumerate(c))
@@ -180,9 +191,9 @@ def _ivf_sql(nprobe: int = 4, k: int = 20) -> str:
     """
 
 
-def _ivf_recall_sql() -> str:
+def _ivf_recall_sql(sf_dir: str | None = None) -> str:
     return f"""
-        WITH ivf AS ({_ivf_sql()}),
+        WITH ivf AS ({_ivf_sql(sf_dir=sf_dir)}),
              brute AS (
                SELECT vec_id
                FROM embeddings, (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
@@ -480,13 +491,22 @@ def q_roundtrip_forced_codecs(spark, sf_dir):
     per-encoding golden tests, /root/reference/src/parquet_testing.zig:332):
     BIT_PACKED (E5) on a narrow-range int, DELTA_BYTE_ARRAY (E8) on a
     string, BYTE_STREAM_SPLIT (E9) on a float — all under a pinned SNAPPY
-    outer (C2) — encoded, decoded, and aggregated bit-exact."""
-    src = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-        "o_orderkey",
-        F.pmod(F.col("o_orderkey"), F.lit(16)).cast("int").alias("key_mod"),
-        "o_orderpriority",
-        "o_totalprice",
-        "o_orderstatus",
+    outer (C2) — encoded, decoded, and aggregated bit-exact.
+
+    Conformance needs bit-exactness, not volume: the deterministic 1-in-8
+    key filter keeps every codec lane and every o_orderstatus group while
+    cutting the encode+decode work 8× (this was the bench's most expensive
+    entry at full volume)."""
+    src = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.pmod(F.col("o_orderkey"), F.lit(8)) == 0)
+        .select(
+            "o_orderkey",
+            F.pmod(F.col("o_orderkey"), F.lit(16)).cast("int").alias("key_mod"),
+            "o_orderpriority",
+            "o_totalprice",
+            "o_orderstatus",
+        )
     )
     root = tempfile.mkdtemp(prefix="parzig_forced_")
     encode_table(
@@ -569,6 +589,86 @@ def q_roundtrip_bool_rle(spark, sf_dir):
         dec.groupBy("o_orderstatus", "big")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("o_orderkey").alias("sum_key"))
         .orderBy("o_orderstatus", "big")
+    )
+
+
+def q_roundtrip_uncompressed(spark, sf_dir):
+    """C1 (UNCOMPRESSED, /root/reference/src/parquet/rowGroupReader.zig:364)
+    as the pinned STORED outer, oracle-gated: ``outer=None`` stores every
+    blob raw (no block codec anywhere in the store), so the decode path
+    exercised here is the passthrough lane end to end."""
+    src = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    root = tempfile.mkdtemp(prefix="parzig_uncomp_")
+    encode_table(
+        src, root, group_cols=["s_nationkey"], salt_cols=["s_suppkey"],
+        target_bytes=32 << 20, resume=False, outer=None,
+    ).count()
+    dec = decode_table(spark, root)
+    return (
+        dec.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("s_suppkey").alias("sum_key"),
+            F.sum(_floor_cents(F.col("s_acctbal"))).alias("sum_bal_cents"),
+            F.min("s_name").alias("min_name"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+def q_roundtrip_int96(spark, sf_dir):
+    """INT96-sourced timestamps end to end, oracle-gated: a parquet file is
+    written with use_deprecated_int96_timestamps=True (the legacy Hive/Spark
+    physical type the reference decodes as i96 nanos,
+    /root/reference/src/parquet/dynamic.zig:6-58), Spark's INT96 reader
+    ingests it, the engine encodes/decodes the resulting TimestampType
+    column, and epoch aggregates must match DuckDB recomputing the same
+    deterministic timestamps from the base orders table."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src_tbl = pq.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_orderdate"],
+    )
+    keys = src_tbl.column("o_orderkey").to_numpy()
+    dates = src_tbl.column("o_orderdate").to_numpy().astype("datetime64[s]")
+    # deterministic intra-day offset; % 86399 caps at 86398 s so the
+    # timestamp never wraps into the next day (SQL twin: to_seconds)
+    ts = dates + (keys % 86399).astype("timedelta64[s]")
+    int96_tbl = pa.table(
+        {
+            "o_orderkey": src_tbl.column("o_orderkey"),
+            "o_orderpriority": src_tbl.column("o_orderpriority"),
+            "event_ts": pa.array(ts.astype("datetime64[us]")),
+        }
+    )
+    d = tempfile.mkdtemp(prefix="parzig_int96_src_")
+    pq.write_table(
+        int96_tbl,
+        os.path.join(d, "orders_int96.parquet"),
+        use_deprecated_int96_timestamps=True,
+    )
+    spark.conf.set("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+    src = spark.read.parquet(d)
+    root = tempfile.mkdtemp(prefix="parzig_int96_store_")
+    encode_table(
+        src, root, group_cols=["o_orderpriority"], salt_cols=["o_orderkey"],
+        target_bytes=32 << 20, resume=False,
+    ).count()
+    dec = decode_table(spark, root)
+    return (
+        dec.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # sum in SECONDS (micros would overflow int64 over 150k rows);
+            # min/max carry the full microsecond fidelity
+            F.sum(F.unix_seconds("event_ts")).alias("sum_epoch_s"),
+            F.min(F.unix_micros("event_ts")).alias("min_epoch_us"),
+            F.max(F.unix_micros("event_ts")).alias("max_epoch_us"),
+        )
+        .orderBy("o_orderpriority")
     )
 
 
@@ -987,6 +1087,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_forced_codecs": q_roundtrip_forced_codecs,
         "roundtrip_nested": q_roundtrip_nested,
         "roundtrip_bool_rle": q_roundtrip_bool_rle,
+        "roundtrip_uncompressed": q_roundtrip_uncompressed,
+        "roundtrip_int96": q_roundtrip_int96,
         "roundtrip_pruned_lang": q_roundtrip_pruned_lang,
         "compression_summary": q_compression_summary,
         "compression_bytes": q_compression_bytes,
@@ -1020,7 +1122,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def oracle_sql() -> dict[str, str]:
+def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
+    """DuckDB twins of every oracleable query. ``sf_dir`` pins the corpus
+    for the few data-derived oracles (IVF centroid literals) — pass the same
+    dir the SQL will run against; the zero-arg driver contract falls back to
+    SPARK_GRAFT_ORACLE_SF_DIR / the driver gate's sf0.01 default."""
     return {
         "roundtrip_documents": """
             SELECT doc_id, lang, source, n_chars, sha256(text) AS text_sha
@@ -1059,7 +1165,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(floor(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
                    min(o_orderpriority) AS min_prio,
                    max(o_orderpriority) AS max_prio
-            FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+            FROM orders WHERE o_orderkey % 8 = 0
+            GROUP BY o_orderstatus ORDER BY o_orderstatus
         """,
         "roundtrip_nested": """
             SELECT c_mktsegment AS seg, count(*) AS n,
@@ -1073,6 +1180,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus, o_totalprice > 150000.0 AS big,
                    count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_key
             FROM orders GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "roundtrip_uncompressed": """
+            SELECT s_nationkey, count(*) AS n,
+                   CAST(sum(s_suppkey) AS BIGINT) AS sum_key,
+                   CAST(sum(CAST(floor(s_acctbal*100) AS BIGINT)) AS BIGINT) AS sum_bal_cents,
+                   min(s_name) AS min_name
+            FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
+        """,
+        "roundtrip_int96": """
+            WITH t AS (
+              SELECT o_orderpriority,
+                     CAST(o_orderdate AS TIMESTAMP) + to_seconds(o_orderkey % 86399) AS event_ts
+              FROM orders
+            )
+            SELECT o_orderpriority, count(*) AS n,
+                   CAST(sum(epoch_us(event_ts) // 1000000) AS BIGINT) AS sum_epoch_s,
+                   min(epoch_us(event_ts)) AS min_epoch_us,
+                   max(epoch_us(event_ts)) AS max_epoch_us
+            FROM t GROUP BY 1 ORDER BY 1
         """,
         "roundtrip_pruned_lang": """
             SELECT doc_id, lang, sha256(text) AS text_sha
@@ -1156,8 +1282,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_verified": _ngram_jaccard_verified_sql(),
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_lsh_recall": _ann_recall_sql(),
-        "ann_ivf_topk": _ivf_sql(),
-        "ann_ivf_recall": _ivf_recall_sql(),
+        "ann_ivf_topk": _ivf_sql(sf_dir=sf_dir),
+        "ann_ivf_recall": _ivf_recall_sql(sf_dir=sf_dir),
         "embedding_near_dups": _embedding_near_dups_sql(),
         "ngram_jaccard_pairs": r"""
             WITH s AS (

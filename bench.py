@@ -145,19 +145,30 @@ def main() -> None:
                 resume=False,
             )
             plan_s = round(time.perf_counter() - t0, 3)
-            timed("corpus_encode_job", summary_df.count)
+            # This rep's job time is captured locally BEFORE folding into the
+            # min so corpus_encode = same-rep plan + same-rep job (a min-of-
+            # jobs from another rep would make a composite no pass achieved).
+            t0 = time.perf_counter()
+            summary_df.count()
+            ejob_s = round(time.perf_counter() - t0, 3)
+            times["corpus_encode_job"] = min(
+                times.get("corpus_encode_job", ejob_s), ejob_s
+            )
             times["corpus_encode"] = min(
-                times.get("corpus_encode", float("inf")),
-                round(plan_s + times["corpus_encode_job"], 3),
+                times.get("corpus_encode", float("inf")), round(plan_s + ejob_s, 3)
             )
 
             t0 = time.perf_counter()
             decode_df = decode_table(spark, root)
             dplan_s = round(time.perf_counter() - t0, 3)
-            decoded_count = timed("corpus_decode_job", decode_df.count)
+            t0 = time.perf_counter()
+            decoded_count = decode_df.count()
+            djob_s = round(time.perf_counter() - t0, 3)
+            times["corpus_decode_job"] = min(
+                times.get("corpus_decode_job", djob_s), djob_s
+            )
             times["corpus_decode"] = min(
-                times.get("corpus_decode", float("inf")),
-                round(dplan_s + times["corpus_decode_job"], 3),
+                times.get("corpus_decode", float("inf")), round(dplan_s + djob_s, 3)
             )
 
             if report is None:

@@ -181,7 +181,7 @@ def build_lsh_index(
     # one output file per bucket instead of (tasks × buckets) tiny files —
     # both the build and every subsequent probe scan touch far fewer files.
     indexed.repartition("bucket").write.mode("overwrite").partitionBy("bucket").parquet(path)
-    _INDEX_DF_CACHE.pop((id(df.sparkSession), path), None)  # rebuild invalidates
+    _invalidate_index_cache(path)  # rebuild invalidates across all sessions
     with open(os.path.join(path, "_meta.json"), "w") as f:
         json.dump(
             {"n_planes": n_planes, "seed": seed, "dim": dim,
@@ -236,14 +236,23 @@ def lsh_topk(
     return scored.orderBy(F.col("cosine").desc(), F.col(key_col)).limit(k)
 
 
-# (session id, index path) -> DataFrame: re-probing an index skips the
+# (applicationId, index path) -> DataFrame: re-probing an index skips the
 # file-listing/schema job — the InMemoryFileIndex inside the cached
-# DataFrame is reused, so a steady-state probe is ONE Spark job.
-_INDEX_DF_CACHE: dict[tuple[int, str], DataFrame] = {}
+# DataFrame is reused, so a steady-state probe is ONE Spark job. Keyed by
+# the stable applicationId (never id(spark), which a GC can recycle onto a
+# new session), and rebuilds invalidate the path across ALL sessions so a
+# session probing an index another session just overwrote never sees stale
+# file listings.
+_INDEX_DF_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _invalidate_index_cache(path: str) -> None:
+    for key in [k for k in _INDEX_DF_CACHE if k[1] == path]:
+        _INDEX_DF_CACHE.pop(key, None)
 
 
 def _read_index(spark: SparkSession, path: str) -> DataFrame:
-    key = (id(spark), path)
+    key = (spark.sparkContext.applicationId, path)
     df = _INDEX_DF_CACHE.get(key)
     if df is None:
         df = spark.read.parquet(path)
@@ -343,7 +352,7 @@ def build_ivf_index(
         "cluster", ivf_cluster_expr(vec_col, centroids)
     )
     indexed.repartition("cluster").write.mode("overwrite").partitionBy("cluster").parquet(path)
-    _INDEX_DF_CACHE.pop((id(df.sparkSession), path), None)  # rebuild invalidates
+    _invalidate_index_cache(path)  # rebuild invalidates across all sessions
     with open(os.path.join(path, "_meta.json"), "w") as f:
         json.dump(
             {"kind": "ivf", "centroids": [[float(x) for x in c] for c in centroids],

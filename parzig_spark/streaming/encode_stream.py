@@ -40,17 +40,32 @@ def claim_namespace(store_root: str, namespace: int, digest_hex: str) -> None:
     d = os.path.join(store_root, "namespaces")
     os.makedirs(d, exist_ok=True)
     path = os.path.join(d, f"ns_{namespace}")
+    # Write-then-hardlink: the marker appears atomically WITH its digest.
+    # (An O_EXCL create followed by a write can crash in between, leaving an
+    # empty marker that would permanently reject replays of the same batch.)
+    tmp = os.path.join(d, f".tmp-{namespace}-{os.getpid()}-{digest_hex[:8]}")
+    with open(tmp, "w") as f:
+        f.write(digest_hex)
+        f.flush()
+        os.fsync(f.fileno())
     try:
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        try:
-            os.write(fd, digest_hex.encode())
-        finally:
-            os.close(fd)
+        os.link(tmp, path)  # atomic claim: fails iff the marker already exists
         return
     except FileExistsError:
         pass
+    finally:
+        os.unlink(tmp)
     with open(path) as f:
         existing = f.read()
+    if existing == "":
+        # Partial marker from a pre-fix crash window: no batch ever owned it
+        # (the digest never landed), so treat as unclaimed and rewrite
+        # atomically with this batch's fingerprint.
+        tmp2 = os.path.join(d, f".tmp2-{namespace}-{os.getpid()}")
+        with open(tmp2, "w") as f:
+            f.write(digest_hex)
+        os.replace(tmp2, path)
+        return
     if existing != digest_hex:
         raise RuntimeError(
             f"pid namespace collision in {store_root}: namespace {namespace} "

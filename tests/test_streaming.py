@@ -213,3 +213,30 @@ def test_claim_namespace_guard(tmp_path):
     claim_namespace(root, 12345, "a" * 64)  # replay: same digest, fine
     with pytest.raises(RuntimeError, match="namespace collision"):
         claim_namespace(root, 12345, "b" * 64)
+
+
+def test_claim_namespace_atomic_and_empty_marker(tmp_path):
+    """Round-4 advice: the marker must appear atomically WITH its digest,
+    and a leftover empty marker (crash between create and write in the old
+    two-step protocol) counts as unclaimed instead of poisoning every replay
+    of the batch forever."""
+    import os
+
+    from parzig_spark.streaming.encode_stream import claim_namespace
+
+    root = str(tmp_path / "store")
+    ns_dir = os.path.join(root, "namespaces")
+    os.makedirs(ns_dir)
+    # simulate the pre-fix crash artifact: marker exists, digest never landed
+    open(os.path.join(ns_dir, "ns_777"), "w").close()
+    claim_namespace(root, 777, "c" * 64)  # adopts the orphaned marker
+    with open(os.path.join(ns_dir, "ns_777")) as f:
+        assert f.read() == "c" * 64
+    # and the normal collision semantics still hold on the adopted marker
+    claim_namespace(root, 777, "c" * 64)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="namespace collision"):
+        claim_namespace(root, 777, "d" * 64)
+    # no temp litter left behind
+    assert sorted(os.listdir(ns_dir)) == ["ns_777"]

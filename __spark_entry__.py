@@ -691,6 +691,59 @@ def q_roundtrip_pruned_lang(spark, sf_dir):
     )
 
 
+def q_roundtrip_paged_prune(spark, sf_dir):
+    """Sub-partition (page-level) statistics skipping, oracle-gated — the
+    ColumnIndex analog (the reference parses ColumnIndex/OffsetIndex but
+    never skips, /root/reference/src/generated/parquet.zig:506-515): orders
+    encode in the PAGED layout (4096-value sections, per-page min/max),
+    sorted by o_orderkey, and the decode-side predicate reads only the
+    sections that can contain keys <= 5000 — the hash proves section
+    skipping drops no qualifying row."""
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    root = tempfile.mkdtemp(prefix="parzig_paged_")
+    encode_table(
+        src, root, group_cols=["o_orderstatus"], salt_cols=["o_orderkey"],
+        sort_cols=["o_orderkey"], target_bytes=64 << 20, resume=False,
+        page_values=4096,
+    ).count()
+    dec = decode_table(spark, root, predicates=[("o_orderkey", "<=", 5000)])
+    return (
+        dec.filter(F.col("o_orderkey") <= 5000)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").alias("sum_key"),
+            F.sum(_floor_cents(F.col("o_totalprice"))).alias("sum_price_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_roundtrip_pruned_prefix(spark, sf_dir):
+    """String RANGE + PREFIX partition pruning, oracle-gated: documents are
+    encoded bucketed by source (src0..src19), then decoded under a
+    lexicographic range (source >= 'src15') AND a prefix predicate
+    (source LIKE 'src1%' — the [p, next(p)) interval on the truncated-but-
+    sound string bounds). The per-row sha hash proves pruning dropped no
+    qualifying row; over-pruning would hash-mismatch."""
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    root = tempfile.mkdtemp(prefix="parzig_prefixprune_")
+    encode_table(
+        src, root, group_cols=["source"], salt_cols=["doc_id"],
+        size_col="text", target_bytes=1 << 20, resume=False,
+    ).count()
+    dec = decode_table(
+        spark,
+        root,
+        predicates=[("source", ">=", "src15"), ("source", "startswith", "src1")],
+    )
+    return (
+        dec.filter((F.col("source") >= "src15") & F.col("source").startswith("src1"))
+        .select("doc_id", "source", F.sha2("text", 256).alias("text_sha"))
+        .orderBy("doc_id")
+    )
+
+
 def q_streaming_window(spark, sf_dir):
     """Structured Streaming surface, oracle-gated: the watermarked tumbling
     window aggregation (streaming/encode_stream.py windowed_event_counts)
@@ -1090,6 +1143,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_uncompressed": q_roundtrip_uncompressed,
         "roundtrip_int96": q_roundtrip_int96,
         "roundtrip_pruned_lang": q_roundtrip_pruned_lang,
+        "roundtrip_pruned_prefix": q_roundtrip_pruned_prefix,
+        "roundtrip_paged_prune": q_roundtrip_paged_prune,
         "compression_summary": q_compression_summary,
         "compression_bytes": q_compression_bytes,
         "streaming_window": q_streaming_window,
@@ -1203,6 +1258,19 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "roundtrip_pruned_lang": """
             SELECT doc_id, lang, sha256(text) AS text_sha
             FROM documents WHERE lang = 'zh' ORDER BY doc_id
+        """,
+        "roundtrip_pruned_prefix": """
+            SELECT doc_id, source, sha256(text) AS text_sha
+            FROM documents
+            WHERE source >= 'src15' AND source LIKE 'src1%'
+            ORDER BY doc_id
+        """,
+        "roundtrip_paged_prune": """
+            SELECT o_orderpriority, count(*) AS n_orders,
+                   CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+                   CAST(sum(CAST(floor(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents
+            FROM orders WHERE o_orderkey <= 5000
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
         "compression_summary": """
             SELECT col AS "column", (SELECT count(*) FROM documents) AS n_values

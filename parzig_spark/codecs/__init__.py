@@ -98,6 +98,7 @@ def encode_column(
     arr: pa.Array | pa.ChunkedArray,
     codec: str,
     outer: str | None = "auto",
+    page_values: int | None = None,
 ) -> tuple[bytes, dict]:
     """Encode one column chunk. Returns (blob, meta); meta is JSON-safe.
 
@@ -105,8 +106,27 @@ def encode_column(
     recursively encoded flattened child — the same lengths+values shape the
     reference's Dremel list reassembly produces
     (/root/reference/src/parquet/nestedReader.zig:85-144).
+
+    ``page_values`` switches scalar columns to the PAGED layout: the column
+    splits at a fixed value stride into independently decodable sections,
+    each carrying its own min/max in meta — the engine's ColumnIndex analog
+    (the reference parses ColumnIndex/OffsetIndex but never skips with them,
+    /root/reference/src/generated/parquet.zig:506-515). Decoders can then
+    read and decode only the sections a predicate may touch
+    (:func:`page_byte_ranges` + :func:`decode_column` on each section).
     """
     arr = _combine(arr)
+    if (
+        page_values
+        and len(arr) > page_values
+        and not (
+            pa.types.is_map(arr.type)
+            or pa.types.is_struct(arr.type)
+            or pa.types.is_list(arr.type)
+            or pa.types.is_large_list(arr.type)
+        )
+    ):
+        return _encode_paged(arr, codec, outer, page_values)
     if pa.types.is_map(arr.type) or codec == "map":
         # MAP == list<struct<key,value>> zipped by shared offsets — the same
         # shape the reference's readMap reassembles
@@ -229,6 +249,52 @@ def encode_column(
     return validity_blob + payload, meta
 
 
+def _encode_paged(
+    arr: pa.Array, codec: str, outer, page_values: int
+) -> tuple[bytes, dict]:
+    """PAGED layout: fixed value-stride sections, each a self-contained
+    encode_column blob (own validity, own outer compression) with canonical
+    min/max stats — so any subset of sections decodes without touching the
+    rest of the blob. Row alignment across columns falls out of the shared
+    stride: page i of every column of a partition covers the same rows."""
+    from .stats import column_minmax
+
+    n = len(arr)
+    pages: list[dict] = []
+    blobs: list[bytes] = []
+    for start in range(0, n, page_values):
+        page = arr.slice(start, page_values)
+        blob, pmeta = encode_column(page, codec, outer=outer)
+        smin, smax = column_minmax(page)
+        pages.append(
+            {"len": len(blob), "n": len(page), "min": smin, "max": smax, "meta": pmeta}
+        )
+        blobs.append(blob)
+    return b"".join(blobs), {
+        "codec": "paged",
+        "n": n,
+        "page_values": page_values,
+        "pages": pages,
+    }
+
+
+def page_byte_ranges(meta: dict, page_indices) -> list[tuple[int, int]]:
+    """(offset, length) of each selected page inside a paged blob — the
+    OffsetIndex role: callers read only these ranges off storage."""
+    starts = [0]
+    for p in meta["pages"]:
+        starts.append(starts[-1] + p["len"])
+    return [(starts[i], meta["pages"][i]["len"]) for i in page_indices]
+
+
+def page_row_ranges(meta: dict, page_indices) -> list[tuple[int, int]]:
+    """(row_offset, n_rows) each selected page covers — identical for every
+    column of a partition (shared stride), so unpaged columns can be sliced
+    to stay row-aligned with page-skipped ones."""
+    pv = meta["page_values"]
+    return [(i * pv, meta["pages"][i]["n"]) for i in page_indices]
+
+
 def _outer_compress(payload: bytes, meta: dict, outer) -> bytes:
     """Optionally wrap ``payload`` with a block codec, recording the choice
     in ``meta["outer"]`` (kept only when it shrinks)."""
@@ -257,6 +323,12 @@ def _outer_compress(payload: bytes, meta: dict, outer) -> bytes:
 def decode_column(blob, meta: dict) -> pa.Array:
     n = meta["n"]
     mv = memoryview(blob)
+    if meta["codec"] == "paged":
+        parts, pos = [], 0
+        for p in meta["pages"]:
+            parts.append(decode_column(mv[pos : pos + p["len"]], p["meta"]))
+            pos += p["len"]
+        return pa.chunked_array(parts).combine_chunks()
     n_valid = n
     valid = None
     if meta.get("null_count"):

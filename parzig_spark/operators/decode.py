@@ -77,6 +77,8 @@ def _arrow_natural_type(meta: dict) -> pa.DataType:
     from ..codecs import dtypes
 
     codec = meta.get("codec")
+    if codec == "paged":
+        return _arrow_natural_type(meta["pages"][0]["meta"])
     if codec == "list":
         cls = pa.large_list if meta.get("large") else pa.list_
         return cls(_arrow_natural_type(meta["child_meta"]))
@@ -105,6 +107,8 @@ def _arrow_target_type(meta: dict) -> pa.DataType:
     from ..codecs import dtypes
 
     codec = meta.get("codec")
+    if codec == "paged":
+        return _arrow_target_type(meta["pages"][0]["meta"])
     if codec == "list":
         cls = pa.large_list if meta.get("large") else pa.list_
         return cls(_arrow_target_type(meta["child_meta"]))
@@ -131,6 +135,8 @@ def _arrow_target_type(meta: dict) -> pa.DataType:
 
 
 def _spark_type(meta: dict) -> str:
+    if meta.get("codec") == "paged":
+        return _spark_type(meta["pages"][0]["meta"])
     codec_meta = meta.get("codec_meta", meta)
     if meta.get("codec") == "list":
         child = _spark_type(meta["child_meta"])
@@ -183,8 +189,28 @@ def decoded_schema(
     return cols, ", ".join(ddl), casts
 
 
+def _prefix_upper(prefix: str) -> str | None:
+    """Smallest string greater than EVERY string starting with ``prefix``
+    (increment the last incrementable code point; skip the surrogate gap —
+    the same arithmetic as encode.string_upper_bound). None when no such
+    bound exists (all-U+10FFFF prefix)."""
+    for i in range(len(prefix) - 1, -1, -1):
+        cp = ord(prefix[i])
+        if cp < 0x10FFFF:
+            nxt = cp + 1
+            if 0xD800 <= nxt <= 0xDFFF:
+                nxt = 0xE000
+            return prefix[:i] + chr(nxt)
+    return None
+
+
 def _exclusion_condition(op: str, val) -> "F.Column":
-    """Manifest-stats condition under which a pid CANNOT satisfy `op val`."""
+    """Manifest-stats condition under which a pid CANNOT satisfy `op val`.
+
+    String stats are truncated-but-sound (stat_min ≤ true min, stat_max ≥
+    true max — encode.column_minmax), so every exclusion below stays sound
+    on them: a range/prefix that overlaps the true values always overlaps
+    the recorded [stat_min, stat_max] envelope too."""
     numeric = isinstance(val, (int, float)) and not isinstance(val, bool)
     lo = F.col("stat_min").cast("double") if numeric else F.col("stat_min")
     hi = F.col("stat_max").cast("double") if numeric else F.col("stat_max")
@@ -199,7 +225,43 @@ def _exclusion_condition(op: str, val) -> "F.Column":
         return lo >= v
     if op in ("==", "="):
         return (hi < v) | (lo > v)
+    if op in ("startswith", "like_prefix"):
+        # LIKE 'p%': matching strings live in [p, next(p)) where next(p)
+        # increments p's last code point — so a partition is excludable iff
+        # its envelope sits entirely below p or entirely at/above next(p).
+        cond = hi < v
+        upper = _prefix_upper(str(val))
+        if upper is not None:
+            cond = cond | (lo >= F.lit(upper))
+        return cond
     raise ValueError(f"unsupported predicate op: {op}")
+
+
+def _page_may_match(op: str, val, pmin, pmax) -> bool:
+    """Executor-side twin of :func:`_exclusion_condition` for per-page
+    stats: True unless the page's [min, max] envelope PROVES no row can
+    satisfy `op val` (missing stats keep the page — never unsound)."""
+    if pmin is None or pmax is None:
+        return True
+    numeric = isinstance(val, (int, float)) and not isinstance(val, bool)
+    if numeric:
+        lo, hi, v = float(pmin), float(pmax), float(val)
+    else:
+        lo, hi, v = str(pmin), str(pmax), str(val)
+    if op == ">=":
+        return not hi < v
+    if op == ">":
+        return not hi <= v
+    if op == "<=":
+        return not lo > v
+    if op == "<":
+        return not lo >= v
+    if op in ("==", "="):
+        return not (hi < v or lo > v)
+    if op in ("startswith", "like_prefix"):
+        upper = _prefix_upper(str(val))
+        return not (hi < v or (upper is not None and lo >= upper))
+    return True
 
 
 def prune_manifests(manifests: DataFrame, predicates) -> DataFrame:
@@ -266,8 +328,13 @@ def decode_table(
     # stats rows to drop partitions.
     if predicates:
         manifests = prune_manifests(manifests, predicates)
+    pred_cols = [p[0] for p in (predicates or [])]
     if columns is not None:
-        manifests = manifests.filter(F.col("column").isin(columns))
+        # predicate columns' rows ride along even when not projected — their
+        # per-page stats drive section skipping inside surviving partitions
+        manifests = manifests.filter(
+            F.col("column").isin(sorted(set(columns) | set(pred_cols)))
+        )
     manifests = manifests.drop("stat_min", "stat_max").repartition(
         spark.sparkContext.defaultParallelism * 2, "pid"
     )
@@ -277,18 +344,63 @@ def decode_table(
 
         Pure-Arrow (mapInArrow): decoded columns go straight from the numpy
         kernels into Arrow batches, never through pandas objects.
+
+        With predicates + a PAGED store, sections whose per-page [min, max]
+        cannot satisfy every predicate are skipped: paged columns read ONLY
+        the surviving byte ranges off storage (read_blob_ranges) and decode
+        only those sections; unpaged columns decode whole, then slice the
+        same row ranges so every column stays row-aligned (the shared value
+        stride guarantees identical page boundaries across columns).
         """
+        from ..codecs import page_byte_ranges, page_row_ranges
+
         local = ManifestStore(store_root)
         rows: dict[int, dict[str, dict]] = {}
         for batch in batches:
             for row in batch.to_pylist():
                 rows.setdefault(int(row["pid"]), {})[row["column"]] = row
         for pid, by_col in rows.items():
+            metas = {name: json.loads(r["meta_json"]) for name, r in by_col.items()}
+            survivors: list[int] | None = None
+            ref_paged: dict | None = None
+            if predicates:
+                keep: set[int] | None = None
+                for col_name, op, val in predicates:
+                    m = metas.get(col_name)
+                    if not m or m.get("codec") != "paged":
+                        continue
+                    ref_paged = m
+                    ok = {
+                        i
+                        for i, p in enumerate(m["pages"])
+                        if _page_may_match(op, val, p["min"], p["max"])
+                    }
+                    keep = ok if keep is None else (keep & ok)
+                if keep is not None:
+                    survivors = sorted(keep)
+                    if not survivors:
+                        continue  # no section of this partition can match
             arrays = []
             for name in cols:
-                meta = json.loads(by_col[name]["meta_json"])
-                blob = local.read_blob(pid, name)
-                arr = decode_column(blob, meta)
+                meta = metas[name]
+                if survivors is not None and meta.get("codec") == "paged":
+                    blobs = local.read_blob_ranges(
+                        pid, name, page_byte_ranges(meta, survivors)
+                    )
+                    parts = [
+                        decode_column(b, meta["pages"][i]["meta"])
+                        for b, i in zip(blobs, survivors)
+                    ]
+                    arr = pa.chunked_array(parts).combine_chunks()
+                elif survivors is not None:
+                    full = decode_column(local.read_blob(pid, name), meta)
+                    parts = [
+                        full.slice(off, ln)
+                        for off, ln in page_row_ranges(ref_paged, survivors)
+                    ]
+                    arr = pa.chunked_array(parts).combine_chunks()
+                else:
+                    arr = decode_column(local.read_blob(pid, name), meta)
                 cast_to = casts.get(name)
                 if cast_to is not None:
                     arr = arr.cast(cast_to, safe=False)

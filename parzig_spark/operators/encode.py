@@ -85,60 +85,10 @@ def column_digest(arr: pa.Array) -> str:
     return h.hexdigest()
 
 
-_STR_STAT_CHARS = 16
-
-
-def string_upper_bound(s: str, limit: int = _STR_STAT_CHARS) -> str | None:
-    """Truncated-but-SOUND upper bound for a string max — the Parquet
-    Statistics trick (the reference parses exactly these Statistics,
-    /root/reference/src/generated/parquet.zig:55-76): truncate to ``limit``
-    code points, then increment the last incrementable one so the result is
-    strictly greater than every string sharing the truncated prefix.
-    Returns ``s`` itself when it already fits; None when no bound exists
-    (all-U+10FFFF prefix). Comparison domain is code points — identical to
-    UTF-8 byte order, which both Spark's UTF8String and Python use."""
-    if len(s) <= limit:
-        return s
-    t = s[:limit]
-    for i in range(len(t) - 1, -1, -1):
-        cp = ord(t[i])
-        if cp < 0x10FFFF:
-            nxt = cp + 1
-            if 0xD800 <= nxt <= 0xDFFF:  # skip the unencodable surrogate gap
-                nxt = 0xE000
-            return t[:i] + chr(nxt)
-    return None
-
-
-def column_minmax(arr: pa.Array) -> tuple[str | None, str | None]:
-    """Canonical-string min/max for orderable scalar types (pruning stats).
-
-    Numerics parse back as double; date/timestamp ISO strings order
-    lexicographically. Strings record a truncated 16-code-point lower bound
-    (a prefix is ≤ the full value) and a truncated-then-incremented upper
-    bound (:func:`string_upper_bound`) — both sound, never exact beyond 16
-    chars, so manifests stay small while equality/range predicates on e.g.
-    ``lang`` or ``repo`` prune partitions. Binary/nested are skipped."""
-    t = arr.type
-    if (pa.types.is_string(t) or pa.types.is_large_string(t)) and len(arr) != arr.null_count:
-        mm = pa.compute.min_max(arr)
-        smin, smax = mm["min"].as_py(), mm["max"].as_py()
-        return smin[:_STR_STAT_CHARS], string_upper_bound(smax)
-    orderable = (
-        pa.types.is_integer(t)
-        or pa.types.is_floating(t)
-        or pa.types.is_date(t)
-        or pa.types.is_timestamp(t)
-        or pa.types.is_time(t)
-        or pa.types.is_decimal(t)
-    )
-    if not orderable or len(arr) == arr.null_count:
-        return None, None
-    if t == pa.float16():  # no Arrow min_max kernel for halffloat
-        vals = arr.drop_null().to_numpy(zero_copy_only=False)
-        return str(float(vals.min())), str(float(vals.max()))
-    mm = pa.compute.min_max(arr)
-    return str(mm["min"].as_py()), str(mm["max"].as_py())
+# Stat kernels live with the codecs (the paged layout computes per-page
+# stats there); re-exported here for the established import surface.
+from ..codecs.stats import STR_STAT_CHARS as _STR_STAT_CHARS  # noqa: F401
+from ..codecs.stats import column_minmax, string_upper_bound  # noqa: F401
 
 
 def plan_partitions(
@@ -272,6 +222,7 @@ def encode_table(
     bucket_bits: int = 24,
     plan_sample_rows: int = 8192,
     codec_overrides: dict[str, str] | None = None,
+    page_values: int | None = None,
 ) -> DataFrame:
     """Encode ``df`` into ``store_root``; returns the per-column summary.
 
@@ -292,6 +243,12 @@ def encode_table(
     selector) — the per-encoding conformance lever, mirroring the
     reference's per-encoding golden tests
     (/root/reference/src/parquet_testing.zig:332,834-856).
+
+    ``page_values`` stores scalar columns in the PAGED layout (fixed value
+    stride, per-section min/max — the ColumnIndex analog): decode-side
+    predicates then skip whole sections *within* a partition, reading only
+    the surviving byte ranges of each blob. Part of the store identity
+    (page boundaries must be a pure data property for resume).
     """
     spark = df.sparkSession
     salt_cols = salt_cols or [c for c in df.columns if c not in group_cols][:1]
@@ -311,6 +268,7 @@ def encode_table(
             "size_col": size_col,
             "target_bytes": target_bytes,
             "columns": list(df.columns),
+            **({"page_values": page_values} if page_values else {}),
         }
     )
     # Overlap the two O(1) planning actions: the codec-plan sample job runs
@@ -421,7 +379,7 @@ def encode_table(
                 else:
                     codec, lineage = choose_codec(arr, outer=outer)
                     lineage_json = json.dumps(lineage, separators=(",", ":"))
-                blob, meta = encode_column(arr, codec, outer=outer)
+                blob, meta = encode_column(arr, codec, outer=outer, page_values=page_values)
                 dt = time.perf_counter() - t0
                 digest = column_digest(arr)
                 smin, smax = column_minmax(arr)

@@ -57,11 +57,13 @@ MANIFEST_SCHEMA = pa.schema(
 # Bump whenever blob layouts or the manifest schema change incompatibly
 # (v2: sectioned RLE/delta headers, stat_min/stat_max manifest columns,
 # leveled zstd outer; v3: streaming pid layout 47-bit namespace × 16-bit
-# bucket + namespace claim markers, truncated string min/max stats).
+# bucket + namespace claim markers, truncated string min/max stats; v4:
+# optional PAGED column layout — fixed value-stride sections with per-page
+# min/max stats for sub-partition skipping).
 # ensure_config embeds it in the store identity, so a resume against an
 # older store fails loudly instead of mixing formats; check_format gives
 # decoders the same loud failure.
-FORMAT_VERSION = 3
+FORMAT_VERSION = 4
 
 
 class ManifestStore:
@@ -182,6 +184,19 @@ class ManifestStore:
     def read_blob(self, pid: int, column: str) -> bytes:
         with open(self.blob_path(pid, column), "rb") as f:
             return f.read()
+
+    def read_blob_ranges(
+        self, pid: int, column: str, ranges: list[tuple[int, int]]
+    ) -> list[bytes]:
+        """Selected (offset, length) byte ranges of one blob — the paged
+        layout's OffsetIndex read path: bytes touched = sum of the ranges,
+        never the file size."""
+        out = []
+        with open(self.blob_path(pid, column), "rb") as f:
+            for off, ln in ranges:
+                f.seek(off)
+                out.append(f.read(ln))
+        return out
 
     def _read_manifest_files(self) -> pa.Table:
         tables = []

@@ -45,21 +45,33 @@ SUMMARY_SCHEMA = (
 
 
 def column_digest(arr: pa.Array) -> str:
-    """Canonical sha256 of a column's logical content (order-sensitive)."""
+    """Canonical sha256 of a column's logical content (order-sensitive).
+
+    Hash input bytes are identical to the original ``.tobytes()``
+    formulation (same little-endian lanes in the same order), but every
+    buffer feeds ``hashlib`` directly via the buffer protocol — the
+    intermediate copies used to cost more per byte than the hash itself
+    (digest was the single largest per-byte CPU term in the encode task)."""
     h = hashlib.sha256()
     if arr.null_count:
-        h.update(np.asarray(arr.is_null()).tobytes())
+        h.update(np.ascontiguousarray(np.asarray(arr.is_null())))
         arr = arr.drop_null()
     t = arr.type
     if pa.types.is_list(t) or pa.types.is_large_list(t):
-        h.update(arr.value_lengths().to_numpy(zero_copy_only=False).astype("<i8").tobytes())
+        h.update(
+            np.ascontiguousarray(
+                arr.value_lengths().to_numpy(zero_copy_only=False).astype("<i8", copy=False)
+            )
+        )
         h.update(column_digest(arr.flatten()).encode())
     elif pa.types.is_map(t):
         # Hash per-entry lengths (np.diff of offsets), not raw offsets — a
         # sliced-but-logically-equal map array must digest identically to its
         # decoded (rebased-offset) twin, mirroring the list branch.
-        offsets = np.asarray(arr.offsets.to_numpy(zero_copy_only=False)).astype("<i8")
-        h.update(np.diff(offsets).tobytes())
+        offsets = np.asarray(arr.offsets.to_numpy(zero_copy_only=False)).astype(
+            "<i8", copy=False
+        )
+        h.update(np.ascontiguousarray(np.diff(offsets)))
         h.update(column_digest(arr.keys).encode())
         h.update(column_digest(arr.items).encode())
     elif pa.types.is_struct(t):
@@ -68,20 +80,20 @@ def column_digest(arr: pa.Array) -> str:
             h.update(column_digest(arr.field(i)).encode())
     elif pa.types.is_decimal128(t):
         lo, hi = dtypes.decimal_lanes(arr)
-        h.update(lo.tobytes())
-        h.update(hi.tobytes())
+        h.update(np.ascontiguousarray(lo))
+        h.update(np.ascontiguousarray(hi))
     elif pa.types.is_fixed_size_binary(t):
         w = t.byte_width
         raw = np.frombuffer(arr.buffers()[1], dtype=np.uint8)
-        h.update(raw[arr.offset * w : (arr.offset + len(arr)) * w].tobytes())
+        h.update(np.ascontiguousarray(raw[arr.offset * w : (arr.offset + len(arr)) * w]))
     else:
         token = dtypes.dtype_token(t)
         if dtypes.is_string_like(token):
             lengths, data = dtypes.string_buffers(arr)
-            h.update(lengths.astype("<i8").tobytes())
-            h.update(data.tobytes())
+            h.update(np.ascontiguousarray(lengths.astype("<i8", copy=False)))
+            h.update(np.ascontiguousarray(data))
         else:
-            h.update(np.ascontiguousarray(dtypes.to_physical(arr)).tobytes())
+            h.update(np.ascontiguousarray(dtypes.to_physical(arr)))
     return h.hexdigest()
 
 
@@ -339,32 +351,40 @@ def encode_table(
         Pure-Arrow: no pandas round-trip — string columns never become
         Python objects, which halves memory traffic per byte (the scaling
         bottleneck on bandwidth-limited hosts).
+
+        ONE data copy for grouping + canonical order: the task's batches
+        concat once, then a single multi-key sort on (pid, *sort_cols) both
+        groups rows by bucket AND orders them canonically — buckets are then
+        zero-copy contiguous slices. (The previous per-batch pid-take plus
+        per-bucket sort moved every byte three times; on a bandwidth-capped
+        host data passes are the encode job's real budget.)
         """
-        buckets: dict[int, list[pa.Table]] = {}
-        for batch in batches:
-            t = pa.Table.from_batches([batch])
-            pids_np = t.column("pid").to_numpy(zero_copy_only=False)
-            uniq = np.unique(pids_np)
-            if len(uniq) == 1:
-                buckets.setdefault(int(uniq[0]), []).append(t.select(data_cols))
-                continue
-            # One argsort + zero-copy slices instead of one filter pass per
-            # pid (a task can host many buckets; per-pid filtering re-scans
-            # the batch npids times).
+        incoming = [pa.Table.from_batches([b]) for b in batches]
+        if not incoming:
+            return
+        full = pa.concat_tables(incoming)
+        del incoming
+        if sort_cols:
+            full = full.sort_by(
+                [("pid", "ascending")] + [(c, "ascending") for c in sort_cols]
+            )
+            pids_np = full.column("pid").to_numpy(zero_copy_only=False)
+        else:
+            # no canonical columns (all-nested table): group by pid only,
+            # stable to preserve arrival order within a bucket
+            pids_np = full.column("pid").to_numpy(zero_copy_only=False)
             order = np.argsort(pids_np, kind="stable")
-            sorted_t = t.take(pa.array(order)).select(data_cols)
-            sorted_pids = pids_np[order]
-            bounds = np.flatnonzero(np.diff(sorted_pids)) + 1
-            starts = np.concatenate(([0], bounds))
-            ends = np.concatenate((bounds, [len(sorted_pids)]))
-            for s, e in zip(starts, ends):
-                buckets.setdefault(int(sorted_pids[s]), []).append(sorted_t.slice(s, e - s))
+            full = full.take(pa.array(order))
+            pids_np = pids_np[order]
+        data_t = full.select(data_cols)
+        bounds = np.flatnonzero(np.diff(pids_np)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(pids_np)]))
         out_rows = []
         local_store = ManifestStore(store_root)
-        for pid, tables in buckets.items():
-            table = pa.concat_tables(tables)
-            if sort_cols:
-                table = table.sort_by([(c, "ascending") for c in sort_cols])
+        for s, e in zip(starts, ends):
+            pid = int(pids_np[s])
+            table = data_t.slice(s, e - s)
             rows, blobs = [], {}
             for column in data_cols:
                 arr = table.column(column).combine_chunks()

@@ -371,6 +371,44 @@ def _ngram_jaccard_verified_sql(cap: int = 256, threshold: float = 0.8) -> str:
     """
 
 
+def _dedup_groups_sql(cap: int = 256, threshold: float = 0.8) -> str:
+    """SQL twin of q_dedup_groups: the verified-pair graph (same LSH + exact
+    Jaccard CTEs as ngram_jaccard_verified) fed into a recursive
+    connected-components closure — min reachable doc_id per node is exactly
+    the min-label-propagation fixpoint the Spark operator converges to."""
+    jac = (
+        "len(list_intersect(p.hset, q.hset)) * 1.0 / "
+        "(len(p.hset) + len(q.hset) - len(list_intersect(p.hset, q.hset)))"
+    )
+    return f"""
+        WITH RECURSIVE {_minhash_lsh_ctes()},
+        cand AS (
+          SELECT DISTINCT x.doc_id AS key_a, y.doc_id AS key_b
+          FROM capped x JOIN capped y
+            ON x.band = y.band AND x.tup = y.tup AND x.doc_id < y.doc_id
+          WHERE x.rn <= {cap} AND y.rn <= {cap}
+        ),
+        hs AS (SELECT doc_id, LIST(DISTINCT CAST(h AS BIGINT)) AS hset FROM sh GROUP BY doc_id),
+        vp AS (
+          SELECT c.key_a, c.key_b
+          FROM cand c JOIN hs p ON p.doc_id = c.key_a JOIN hs q ON q.doc_id = c.key_b
+          WHERE {jac} >= {threshold}
+        ),
+        edges AS (
+          SELECT key_a AS s, key_b AS d FROM vp
+          UNION ALL
+          SELECT key_b AS s, key_a AS d FROM vp
+        ),
+        reach(node, lbl) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.node
+        )
+        SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS group_id
+        FROM reach GROUP BY node ORDER BY node
+    """
+
+
 def _roundtrip(spark: SparkSession, sf_dir: str, table: str, group_cols, salt_cols, size_col=None, sort_cols=None) -> DataFrame:
     """Encode a testdata table into a fresh store, decode it back.
 
@@ -719,6 +757,30 @@ def q_roundtrip_paged_prune(spark, sf_dir):
     )
 
 
+def q_roundtrip_bloom_prune(spark, sf_dir):
+    """Per-page BLOOM equality skipping, oracle-gated — the
+    BloomFilterHeader analog (/root/reference/src/generated/parquet.zig:
+    312-325, parsed by the reference but never consulted): orders sort by
+    o_orderkey, so o_custkey is scattered and every page's [min, max]
+    spans the customer domain — only the 1-KiB-scale per-page blooms can
+    prove pages free of the probed customer. The hash proves bloom
+    skipping drops no qualifying row (a false negative would lose rows)."""
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    root = tempfile.mkdtemp(prefix="parzig_bloom_")
+    encode_table(
+        src, root, group_cols=["o_orderstatus"], salt_cols=["o_orderkey"],
+        sort_cols=["o_orderkey"], target_bytes=64 << 20, resume=False,
+        page_values=4096,
+    ).count()
+    dec = decode_table(spark, root, predicates=[("o_custkey", "==", 371)])
+    return (
+        dec.filter(F.col("o_custkey") == 371)
+        .select("o_orderkey", "o_orderpriority",
+                _floor_cents(F.col("o_totalprice")).alias("price_cents"))
+        .orderBy("o_orderkey")
+    )
+
+
 def q_roundtrip_pruned_prefix(spark, sf_dir):
     """String RANGE + PREFIX partition pruning, oracle-gated: documents are
     encoded bucketed by source (src0..src19), then decoded under a
@@ -904,6 +966,21 @@ def q_ngram_jaccard_verified(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     cands = ded.minhash_lsh_candidates(docs, "text", "doc_id")
     return ded.ngram_jaccard(docs, cands, "text", "doc_id").filter(F.col("jaccard") >= 0.8)
+
+
+def q_dedup_groups(spark, sf_dir):
+    """Duplicate-CLUSTER assignment (the dedup pipeline's last stage):
+    connected components over the verified near-dup pair graph — min doc_id
+    per component via distributed min-label propagation; the oracle's
+    recursive-CTE closure reproduces the fixpoint exactly."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cands = ded.minhash_lsh_candidates(docs, "text", "doc_id")
+    pairs = ded.ngram_jaccard(docs, cands, "text", "doc_id").filter(
+        F.col("jaccard") >= 0.8
+    )
+    return ded.dedup_components(docs, pairs, "doc_id").withColumn(
+        "group_id", F.col("group_id").cast("long")
+    ).orderBy("doc_id")
 
 
 def q_ann_cosine_topk(spark, sf_dir):
@@ -1145,6 +1222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_pruned_lang": q_roundtrip_pruned_lang,
         "roundtrip_pruned_prefix": q_roundtrip_pruned_prefix,
         "roundtrip_paged_prune": q_roundtrip_paged_prune,
+        "roundtrip_bloom_prune": q_roundtrip_bloom_prune,
         "compression_summary": q_compression_summary,
         "compression_bytes": q_compression_bytes,
         "streaming_window": q_streaming_window,
@@ -1159,6 +1237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_candidates": q_minhash_candidates,
         "simhash": q_simhash,
         "ngram_jaccard_verified": q_ngram_jaccard_verified,
+        "dedup_groups": q_dedup_groups,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_lsh_recall": q_ann_lsh_recall,
@@ -1272,6 +1351,11 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
             FROM orders WHERE o_orderkey <= 5000
             GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
+        "roundtrip_bloom_prune": """
+            SELECT o_orderkey, o_orderpriority,
+                   CAST(floor(o_totalprice*100) AS BIGINT) AS price_cents
+            FROM orders WHERE o_custkey = 371 ORDER BY o_orderkey
+        """,
         "compression_summary": """
             SELECT col AS "column", (SELECT count(*) FROM documents) AS n_values
             FROM (VALUES ('doc_id'), ('lang'), ('n_chars'), ('source'), ('text')) t(col)
@@ -1348,6 +1432,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "simhash": _simhash_sql(),
         "minhash_candidates": _minhash_candidates_sql(),
         "ngram_jaccard_verified": _ngram_jaccard_verified_sql(),
+        "dedup_groups": _dedup_groups_sql(),
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_lsh_recall": _ann_recall_sql(),
         "ann_ivf_topk": _ivf_sql(sf_dir=sf_dir),

@@ -153,7 +153,9 @@ def main() -> None:
         "+ mapInArrow; the page skipping happens INSIDE each decode task: only "
         "sections whose [min, max] can satisfy the predicate are read "
         "(read_blob_ranges seeks to their byte ranges) and decoded — bytes touched "
-        "scale with selectivity, not partition size.",
+        "scale with selectivity, not partition size. Equality predicates "
+        "additionally consult per-page blooms (the BloomFilterHeader analog), "
+        "which prune pages whose [min, max] spans the whole domain.",
     )
 
     out = "# EXPLAIN — physical plans of the key dataflows\n\n" + "\n".join(sections)

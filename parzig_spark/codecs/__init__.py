@@ -256,26 +256,33 @@ def _encode_paged(
     encode_column blob (own validity, own outer compression) with canonical
     min/max stats — so any subset of sections decodes without touching the
     rest of the blob. Row alignment across columns falls out of the shared
-    stride: page i of every column of a partition covers the same rows."""
-    from .stats import column_minmax
+    stride: page i of every column of a partition covers the same rows.
+
+    Integer-lane and string pages additionally carry a 1 KiB equality
+    bloom (stats.bloom_build) — the BloomFilterHeader analog: min/max
+    cannot prune `==` predicates on columns uncorrelated with the sort
+    order, a bloom can."""
+    from .stats import bloom_build, bloom_domain, column_minmax
 
     n = len(arr)
+    dom = bloom_domain(arr.type)
     pages: list[dict] = []
     blobs: list[bytes] = []
     for start in range(0, n, page_values):
         page = arr.slice(start, page_values)
         blob, pmeta = encode_column(page, codec, outer=outer)
         smin, smax = column_minmax(page)
-        pages.append(
-            {"len": len(blob), "n": len(page), "min": smin, "max": smax, "meta": pmeta}
-        )
+        entry = {"len": len(blob), "n": len(page), "min": smin, "max": smax, "meta": pmeta}
+        if dom:
+            bl = bloom_build(page, dom)
+            if bl:
+                entry["bloom"] = bl
+        pages.append(entry)
         blobs.append(blob)
-    return b"".join(blobs), {
-        "codec": "paged",
-        "n": n,
-        "page_values": page_values,
-        "pages": pages,
-    }
+    meta = {"codec": "paged", "n": n, "page_values": page_values, "pages": pages}
+    if dom:
+        meta["bloom_domain"] = dom
+    return b"".join(blobs), meta
 
 
 def page_byte_ranges(meta: dict, page_indices) -> list[tuple[int, int]]:

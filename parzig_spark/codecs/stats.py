@@ -9,9 +9,122 @@ the reference parses but never consults
 
 from __future__ import annotations
 
+import base64
+
+import numpy as np
 import pyarrow as pa
 
+from . import dtypes
+
 STR_STAT_CHARS = 16
+
+# --- per-page bloom filters (equality skipping) ----------------------------
+# The BloomFilterHeader analog (/root/reference/src/generated/parquet.zig:
+# 312-325 — parsed by the reference, never consulted): min/max cannot prune
+# equality predicates on columns uncorrelated with the sort order (every
+# page's range spans the domain); a bloom can. Sized at ~8 bits/value
+# (power-of-2, 2 Kbit..128 Kbit) with k=4 double-hashed probes — ~2-3%
+# false positives at full load; m rides implicitly in the bitmap length.
+_BLOOM_K = 4
+_BLOOM_C1 = np.uint64(0x9E3779B97F4A7C15)
+_BLOOM_C2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _bloom_m_for(n: int) -> int:
+    import math
+
+    return 1 << max(11, min(17, math.ceil(math.log2(max(8 * n, 2048)))))
+
+
+def bloom_domain(t: pa.DataType) -> str | None:
+    """Key domain for equality blooms: "i64" for integer-lane scalars,
+    "str" for strings. None (no bloom) for types where equality predicates
+    are rare or the key derivation would be lossy (floats, bool, decimal,
+    fixed, half) — min/max still applies there."""
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_boolean(t) or pa.types.is_floating(t):
+        return None
+    try:
+        token = dtypes.dtype_token(t)
+    except TypeError:
+        return None
+    if token.startswith(("decimal", "fixed")) or token in ("halffloat", "bool"):
+        return None
+    if token in ("binary", "large_binary"):
+        return None
+    if dtypes.is_int_like(token):
+        return "i64"
+    return None
+
+
+def _bloom_probes(keys: np.ndarray, m: int):
+    """k=4 positions per key via Kirsch-Mitzenmacher double hashing: two
+    multiplicative mixes supply (a, b); probe i = (a + i*b) mod m."""
+    k = keys.astype(np.uint64, copy=False)
+    s = np.uint64(64 - 17)
+    a = (k * _BLOOM_C1) >> s
+    b = ((k * _BLOOM_C2) >> s) | np.uint64(1)
+    mask = np.uint64(m - 1)
+    return [(a + np.uint64(i) * b) & mask for i in range(_BLOOM_K)]
+
+
+def string_bloom_key(b: bytes) -> int:
+    """PREFIX key: big-endian first-8 bytes XOR byte length. Sound for
+    equality blooms — distinct strings may share a key (false positives
+    only), but equal strings always produce the same key."""
+    return int.from_bytes(b[:8].ljust(8, b"\0"), "big") ^ len(b)
+
+
+def bloom_build(arr: pa.Array, domain: str) -> str | None:
+    """base64 bloom of one page's non-null values (k=2 multiplicative
+    hashes into 8192 bits); None for empty/all-null pages."""
+    a = arr.drop_null() if arr.null_count else arr
+    if len(a) == 0:
+        return None
+    if domain == "i64":
+        keys = dtypes.to_int64_lane(a).view(np.uint64)
+    else:
+        lengths, data = dtypes.string_buffers(a)
+        starts = np.zeros(len(lengths), np.int64)
+        np.cumsum(lengths[:-1], out=starts[1:])
+        padded = np.zeros(len(data) + 8, np.uint8)
+        padded[: len(data)] = data
+        win = np.lib.stride_tricks.sliding_window_view(padded, 8)
+        keys = win[starts].view("<u8").reshape(-1).byteswap()
+        keys = keys ^ lengths.astype(np.uint64)
+    m = _bloom_m_for(len(keys))
+    bits = np.zeros(m, bool)
+    for pos in _bloom_probes(keys, m):
+        bits[pos] = True
+    return base64.b64encode(np.packbits(bits).tobytes()).decode()
+
+
+def bloom_may_contain(bloom_b64: str, domain: str, val) -> bool:
+    """False only when the bloom PROVES `val` absent from the page; any
+    type/domain mismatch conservatively returns True (never unsound)."""
+    if domain == "i64":
+        if isinstance(val, bool) or not isinstance(val, (int, float)):
+            return True
+        if isinstance(val, float):
+            if val != int(val):
+                return True  # min/max handles it; stay conservative
+            val = int(val)
+        if not -(2**63) <= val < 2**63:
+            return True
+        key = np.uint64(np.int64(val))
+    elif domain == "str":
+        if not isinstance(val, str):
+            return True
+        key = np.uint64(string_bloom_key(val.encode()))
+    else:
+        return True
+    bits = np.unpackbits(np.frombuffer(base64.b64decode(bloom_b64), np.uint8))
+    m = len(bits)  # power of 2 by construction
+    return all(
+        bool(bits[int(pos[0])])
+        for pos in _bloom_probes(np.array([key], np.uint64), m)
+    )
 
 
 def string_upper_bound(s: str, limit: int = STR_STAT_CHARS) -> str | None:

@@ -359,3 +359,72 @@ def embedding_near_dups(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def dedup_components(
+    keys: DataFrame,
+    pairs: DataFrame,
+    key_col: str = "doc_id",
+    a_col: str = "key_a",
+    b_col: str = "key_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Duplicate-CLUSTER assignment: connected components over a verified
+    near-duplicate pair graph, labels = min key per component (singletons
+    keep their own key). The canonical last stage of a dedup pipeline —
+    pairs say "these two match", components say "keep one per cluster".
+
+    Distributed min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels (one join + one groupBy per
+    round); convergence in at most graph-diameter rounds. Near-dup cluster
+    graphs are small-diameter in practice (dups of one document all share
+    it as a neighbor); for adversarially long chains the round count is
+    bounded by ``max_iters`` and convergence is asserted. Per-round state
+    is one (node, label) DataFrame — no driver-side graph, shuffles keyed
+    by node id only (the alternating small-star/large-star variant would
+    cut worst-case rounds to O(log n); the simple propagation keeps every
+    round a plain AQE-optimized join at a per-round cost this size-class
+    never notices).
+
+    Lineage control: every round ``localCheckpoint``s its label table.
+    Iterative self-joins are the one Spark shape where ``persist`` is NOT
+    enough — caching stores data but keeps the logical plan, which then
+    nests one level per round and sends Catalyst/AQE re-optimization
+    superlinear (measured: a 6-node toy graph spun the driver JVM for
+    minutes). Checkpointing flattens each round's plan to a scan of the
+    materialized RDD, making per-round planning O(1). On a real cluster,
+    swap ``localCheckpoint`` for a reliable ``checkpoint`` dir if executor
+    loss during the (short) propagation must be survivable.
+    """
+    nodes = keys.select(F.col(key_col).alias("node")).distinct()
+    edges = (
+        pairs.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
+        .union(pairs.select(F.col(b_col).alias("s"), F.col(a_col).alias("d")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = nodes.select("node", F.col("node").alias("lbl")).localCheckpoint()
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(labels, edges.s == labels.node)
+            .groupBy("d")
+            .agg(F.min("lbl").alias("nl"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.node == neigh.d, "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce("nl", "lbl")).alias("new_lbl"),
+                F.col("lbl").alias("old_lbl"),
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.filter(F.col("new_lbl") < F.col("old_lbl")).count()
+        labels = new_labels.select("node", F.col("new_lbl").alias("lbl"))
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"dedup_components did not converge in {max_iters} rounds"
+        )
+    return labels.select(F.col("node").alias(key_col), F.col("lbl").alias("group_id"))

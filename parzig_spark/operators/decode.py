@@ -237,10 +237,18 @@ def _exclusion_condition(op: str, val) -> "F.Column":
     raise ValueError(f"unsupported predicate op: {op}")
 
 
-def _page_may_match(op: str, val, pmin, pmax) -> bool:
+def _page_may_match(
+    op: str, val, pmin, pmax, bloom: str | None = None, bloom_dom: str | None = None
+) -> bool:
     """Executor-side twin of :func:`_exclusion_condition` for per-page
-    stats: True unless the page's [min, max] envelope PROVES no row can
-    satisfy `op val` (missing stats keep the page — never unsound)."""
+    stats: True unless the page's [min, max] envelope — or, for equality,
+    its bloom filter — PROVES no row can satisfy `op val` (missing stats
+    keep the page — never unsound)."""
+    if op in ("==", "=") and bloom and bloom_dom:
+        from ..codecs.stats import bloom_may_contain
+
+        if not bloom_may_contain(bloom, bloom_dom, val):
+            return False
     if pmin is None or pmax is None:
         return True
     numeric = isinstance(val, (int, float)) and not isinstance(val, bool)
@@ -373,7 +381,10 @@ def decode_table(
                     ok = {
                         i
                         for i, p in enumerate(m["pages"])
-                        if _page_may_match(op, val, p["min"], p["max"])
+                        if _page_may_match(
+                            op, val, p["min"], p["max"],
+                            p.get("bloom"), m.get("bloom_domain"),
+                        )
                     }
                     keep = ok if keep is None else (keep & ok)
                 if keep is not None:

@@ -399,3 +399,61 @@ def test_paged_layout_roundtrip_and_selective_decode():
     assert m3["codec"] != "paged"
     _, m4 = encode_column(pa.array([[1], [2, 3]]), "list", page_values=1)
     assert m4["codec"] == "list"
+
+
+def test_bloom_page_filters():
+    """Per-page equality blooms (round-4, the BloomFilterHeader analog):
+    every present value passes, most absent values are provably excluded,
+    type mismatches stay conservative."""
+    import numpy as np
+
+    from parzig_spark.codecs import encode_column
+    from parzig_spark.codecs.stats import (
+        bloom_build,
+        bloom_domain,
+        bloom_may_contain,
+        string_bloom_key,
+    )
+
+    # int lane: scattered values, min/max would never prune equality
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 1 << 40, 5000, dtype=np.int64)
+    arr = pa.array(vals)
+    dom = bloom_domain(arr.type)
+    assert dom == "i64"
+    b = bloom_build(arr, dom)
+    for v in vals[:200]:
+        assert bloom_may_contain(b, dom, int(v))  # no false negatives, ever
+    absent = [int(x) for x in rng.integers(1 << 41, 1 << 42, 500)]
+    hit = sum(bloom_may_contain(b, dom, v) for v in absent)
+    assert hit < 100, f"false-positive rate too high: {hit}/500"
+
+    # string domain: prefix key = first-8-bytes ^ length (sound)
+    strs = pa.array([f"user_{i:06d}" for i in range(3000)])
+    sdom = bloom_domain(strs.type)
+    assert sdom == "str"
+    sb = bloom_build(strs, sdom)
+    assert bloom_may_contain(sb, sdom, "user_001234")
+    # same 8-byte prefix AND length as a present value -> false positive by
+    # design (prefix key); different length is distinguishable
+    assert not bloom_may_contain(sb, sdom, "user_0012345_xyz")
+    assert string_bloom_key("abc".encode()) == string_bloom_key(b"abc".decode().encode())
+
+    # conservative paths: wrong type, fractional float, huge int
+    assert bloom_may_contain(b, dom, "not-an-int")
+    assert bloom_may_contain(b, dom, 1.5)
+    assert bloom_may_contain(b, dom, 2**70)
+    # integral float maps to its int key
+    assert bloom_may_contain(b, dom, float(int(vals[0])))
+
+    # paged meta carries blooms; floats/bools opt out
+    blob, meta = encode_column(pa.array(vals), "for", page_values=1024)
+    assert meta["bloom_domain"] == "i64"
+    assert all("bloom" in p for p in meta["pages"])
+    import json
+
+    json.dumps(meta)
+    fblob, fmeta = encode_column(
+        pa.array(np.linspace(0, 1, 3000)), "plain", page_values=1024
+    )
+    assert "bloom_domain" not in fmeta

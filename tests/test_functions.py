@@ -237,3 +237,41 @@ def test_ivf_index_partition_pruning_and_recall(spark, tmp_path):
     # query (vec_id=1) and its planted twin share a cell by construction
     assert 1 in keys and 999 in keys, keys
     assert keys[0] in (1, 999)
+
+
+def test_dedup_components_chains_and_singletons(spark):
+    """Min-label propagation: a 4-node chain collapses to its min key in
+    diameter rounds, singletons keep their own key, two disjoint clusters
+    stay disjoint."""
+    from parzig_spark.functions.dedup import dedup_components
+
+    keys = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    # chain 1-2-3-4 (diameter 3), pair 7-9, singletons 0,5,6,8
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (7, 9)], "key_a long, key_b long"
+    )
+    got = {
+        r["doc_id"]: r["group_id"]
+        for r in dedup_components(keys, pairs, "doc_id").collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 6, 7: 7, 8: 8, 9: 7}
+
+
+def test_dedup_components_nonconvergence_guard(spark):
+    import pytest
+
+    from parzig_spark.functions.dedup import dedup_components
+
+    keys = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "key_a long, key_b long"
+    )
+    # diameter 5 > max_iters 2 -> must fail loudly, not return a wrong fixpoint
+    with pytest.raises(RuntimeError, match="converge"):
+        dedup_components(keys, chain, "doc_id", max_iters=2)
+    # and converges fine with the default budget
+    got = {
+        r["doc_id"]: r["group_id"]
+        for r in dedup_components(keys, chain, "doc_id").collect()
+    }
+    assert set(got.values()) == {0}

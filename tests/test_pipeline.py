@@ -709,3 +709,44 @@ def test_page_level_stats_skip_sections(spark, tmp_path):
     # stats alone could not prove this: 0 <= 200_000 <= max fails… use a gap)
     none = decode_table(spark, root, predicates=[("k", ">", 10_000_000)])
     assert none.count() == 0
+
+
+def test_bloom_page_skipping_equality(spark, tmp_path):
+    """Equality predicate on a column UNCORRELATED with the sort order:
+    every page's [min, max] spans the domain (stats alone prune nothing),
+    but the per-page blooms exclude most pages; all qualifying rows
+    survive."""
+    from pyspark.sql import functions as F
+
+    from parzig_spark.operators import decode_table, encode_table
+    from parzig_spark.plans.manifest import ManifestStore
+
+    # k sorted; v = a wide permuted-ish value (scattered across pages)
+    df = spark.range(0, 60_000).select(
+        F.lit("g").alias("grp"),
+        F.col("id").alias("k"),
+        (F.pmod(F.col("id") * 48271, F.lit(60_000)) * 1_000_003).alias("v"),
+    )
+    root = str(tmp_path / "bloomstore")
+    encode_table(
+        df, root, group_cols=["grp"], salt_cols=["k"], sort_cols=["k"],
+        target_bytes=1 << 30, resume=False, page_values=4096,
+    ).count()
+    store = ManifestStore(root)
+    pid = next(iter(store.committed_pids()))
+    meta_v = store.column_meta(pid, "v")
+    assert meta_v.get("bloom_domain") == "i64"
+
+    # a present value: its row must survive bloom+stats skipping
+    target = (12_345 * 48271 % 60_000) * 1_000_003
+    dec = decode_table(spark, root, predicates=[("v", "==", target)])
+    got = dec.collect()
+    assert any(r["v"] == target for r in got)
+    # and most pages were skipped: decoded rows << total (each surviving
+    # page contributes 4096 rows; stats alone would keep all 15 pages)
+    assert len(got) < 30_000, len(got)
+
+    # an absent value (not a multiple of 1_000_003): typically zero pages
+    miss = decode_table(spark, root, predicates=[("v", "==", 17)])
+    assert miss.count() < 30_000
+    assert miss.filter(F.col("v") == 17).count() == 0

@@ -387,7 +387,17 @@ def encode_table(
             table = data_t.slice(s, e - s)
             rows, blobs = [], {}
             for column in data_cols:
-                arr = table.column(column).combine_chunks()
+                # zero-copy bucket slice: every scalar/list codec path (and
+                # column_digest/column_minmax/nbytes) is slice-aware, so the
+                # per-bucket compaction copy is skipped — one less full data
+                # pass per task. Map/struct compact: their offsets/field
+                # accessors don't normalize slices across pyarrow versions.
+                col = table.column(column)
+                arr = col.chunk(0) if col.num_chunks == 1 else col.combine_chunks()
+                if arr.offset and (
+                    pa.types.is_map(arr.type) or pa.types.is_struct(arr.type)
+                ):
+                    arr = pa.concat_arrays([arr])
                 t0 = time.perf_counter()
                 override = (codec_overrides or {}).get(column)
                 planned = codec_plan.get(column)

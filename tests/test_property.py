@@ -156,3 +156,49 @@ def test_string_stats_bounds_sound(values, probe):
     # value can equal probe (the equality-exclusion rule)
     if hi is not None and (probe < lo or probe > hi):
         assert probe not in values
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    values=st.lists(
+        st.one_of(st.integers(min_value=-(2**62), max_value=2**62), st.none()),
+        min_size=0,
+        max_size=400,
+    ),
+    codec=st.sampled_from(("plain", "for", "delta")),
+    page_values=st.sampled_from((7, 32, 100)),
+)
+def test_paged_layout_roundtrip_any(values, codec, page_values):
+    """PAGED layout fuzz: arbitrary values/null patterns at awkward strides
+    round-trip bit-identically; page stats and blooms never contradict the
+    data (every present value passes its page's bloom)."""
+    from parzig_spark.codecs.stats import bloom_may_contain
+
+    arr = pa.array(values, pa.int64())
+    blob, meta = encode_column(arr, codec, page_values=page_values)
+    assert decode_column(blob, meta).equals(arr)
+    if meta.get("codec") != "paged":
+        assert len(values) <= page_values
+        return
+    dom = meta.get("bloom_domain")
+    pos = 0
+    for p in meta["pages"]:
+        page_vals = [v for v in values[pos : pos + p["n"]] if v is not None]
+        if page_vals:
+            assert int(p["min"]) == min(page_vals)  # int64 stats are str(int)
+            assert int(p["max"]) == max(page_vals)
+            if dom and "bloom" in p:
+                for v in page_vals[:20]:
+                    assert bloom_may_contain(p["bloom"], dom, v)
+        pos += p["n"]
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    values=st.lists(st.one_of(st.text(max_size=40), st.none()), max_size=300),
+    page_values=st.sampled_from((13, 64)),
+)
+def test_paged_strings_roundtrip_any(values, page_values):
+    arr = pa.array(values, pa.string())
+    blob, meta = encode_column(arr, "dict", page_values=page_values)
+    assert decode_column(blob, meta).cast(pa.string()).equals(arr)

@@ -968,6 +968,35 @@ def q_ngram_jaccard_verified(spark, sf_dir):
     return ded.ngram_jaccard(docs, cands, "text", "doc_id").filter(F.col("jaccard") >= 0.8)
 
 
+def q_sessionize_events(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity gap) over the event log:
+    per-session aggregates, boundaries computed in integer microseconds so
+    the SQL twin reproduces them exactly."""
+    from parzig_spark.functions.events import session_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_stats(ev).orderBy("user_id", "session_no")
+
+
+def q_vocab_topk(spark, sf_dir):
+    """Vocabulary building: top-50 lowercased alphabetic tokens by corpus
+    frequency (deterministic tie-break on token)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tx.vocab_topk(docs, "text", k=50)
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic held-out split: md5-prefix sampling (~4/16 of rows,
+    proportions preserved per language), reproducible across engines and
+    cluster sizes — per-row sha proves the same rows were picked."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        tx.hash_sample(docs, "doc_id")
+        .select("doc_id", "lang", F.sha2("text", 256).alias("text_sha"))
+        .orderBy("doc_id")
+    )
+
+
 def q_dedup_groups(spark, sf_dir):
     """Duplicate-CLUSTER assignment (the dedup pipeline's last stage):
     connected components over the verified near-dup pair graph — min doc_id
@@ -1238,6 +1267,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ngram_jaccard_verified": q_ngram_jaccard_verified,
         "dedup_groups": q_dedup_groups,
+        "sessionize_events": q_sessionize_events,
+        "vocab_topk": q_vocab_topk,
+        "stratified_sample": q_stratified_sample,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_lsh_recall": q_ann_lsh_recall,
@@ -1433,6 +1465,36 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "minhash_candidates": _minhash_candidates_sql(),
         "ngram_jaccard_verified": _ngram_jaccard_verified_sql(),
         "dedup_groups": _dedup_groups_sql(),
+        "sessionize_events": """
+            WITH o AS (
+              SELECT user_id, event_id, value, epoch_us(ts) AS tus,
+                     CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                               OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS session_no
+              FROM o
+            )
+            SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+                   count(*) AS n_events,
+                   min(event_id) AS first_event,
+                   CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+                   max(tus) - min(tus) AS duration_us
+            FROM s GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "vocab_topk": """
+            SELECT lower(t.tok) AS tok, count(*) AS n
+            FROM documents, unnest(regexp_extract_all(text, '[A-Za-z]+')) AS t(tok)
+            GROUP BY 1 ORDER BY n DESC, tok LIMIT 50
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang, sha256(text) AS text_sha
+            FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+            ORDER BY doc_id
+        """,
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_lsh_recall": _ann_recall_sql(),
         "ann_ivf_topk": _ivf_sql(sf_dir=sf_dir),

@@ -135,3 +135,33 @@ def lang_id(df: DataFrame, text_col: str = "text", key_cols: list[str] | None = 
     return df.select(*cols).mapInPandas(
         score, schema=f"{key_schema}, lang_pred string, lang_score double"
     )
+
+
+def vocab_topk(df: DataFrame, text_col: str = "text", k: int = 50) -> DataFrame:
+    """Corpus vocabulary: top-k lowercased alphabetic tokens by frequency
+    (vocabulary-building stage of a tokenizer pipeline). Explode + hash
+    aggregate — map-side partial combine keeps the shuffle at distinct-token
+    granularity; the final top-k is a k-row TakeOrderedAndProject. Ties
+    break on the token for a deterministic tail."""
+    toks = df.select(
+        F.explode(F.expr(f"regexp_extract_all({text_col}, '[A-Za-z]+', 0)")).alias("tok")
+    )
+    return (
+        toks.select(F.lower(F.col("tok")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok"))
+        .limit(k)
+    )
+
+
+def hash_sample(df: DataFrame, key_col: str, hex_digits: str = "0123") -> DataFrame:
+    """Deterministic held-out sampling: keep rows whose md5(key) starts with
+    one of ``hex_digits`` (len/16 of the corpus, ~uniform per stratum, so
+    per-language proportions are preserved without a per-stratum pass).
+    Pure map-side filter — no shuffle, no RNG state, identical on any
+    cluster size or engine (md5 of the decimal key string is portable to
+    every SQL dialect), which is what makes train/held-out splits
+    reproducible across reruns and engines."""
+    first = F.substring(F.md5(F.col(key_col).cast("string")), 1, 1)
+    return df.filter(first.isin(*list(hex_digits)))

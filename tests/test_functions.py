@@ -275,3 +275,55 @@ def test_dedup_components_nonconvergence_guard(spark):
         for r in dedup_components(keys, chain, "doc_id").collect()
     }
     assert set(got.values()) == {0}
+
+
+def test_sessionize_gap_boundaries(spark):
+    """Planted gaps: events 31 min apart split sessions, 29 min apart don't;
+    numbering restarts per user."""
+    from datetime import datetime, timedelta
+
+    from parzig_spark.functions.events import session_stats, sessionize
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        # user 1: a 3-event session, a 31-min gap, then 2 more events
+        (0, t0, 1, 1.0),
+        (1, t0 + timedelta(minutes=10), 1, 2.0),
+        (2, t0 + timedelta(minutes=39), 1, 3.0),  # 29 min after prev: same
+        (3, t0 + timedelta(minutes=71), 1, 4.0),  # 32 min: NEW session
+        (4, t0 + timedelta(minutes=72), 1, 5.0),
+        # user 2: one event
+        (5, t0, 2, 9.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    got = {
+        r["event_id"]: r["session_no"]
+        for r in sessionize(df).select("event_id", "session_no").collect()
+    }
+    assert got == {0: 1, 1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
+    stats = {
+        (r["user_id"], r["session_no"]): (r["n_events"], r["duration_us"])
+        for r in session_stats(df).collect()
+    }
+    assert stats[(1, 1)] == (3, 39 * 60 * 1_000_000)
+    assert stats[(1, 2)] == (2, 60 * 1_000_000)
+    assert stats[(2, 1)] == (1, 0)
+
+
+def test_hash_sample_deterministic_and_stratified(spark):
+    from parzig_spark.functions.text import hash_sample
+
+    docs = spark.range(0, 4000).selectExpr("id AS doc_id", "id % 5 AS lang")
+    a = {r["doc_id"] for r in hash_sample(docs, "doc_id").collect()}
+    b = {r["doc_id"] for r in hash_sample(docs.repartition(7), "doc_id").collect()}
+    assert a == b  # partitioning-independent
+    frac = len(a) / 4000
+    assert 0.2 < frac < 0.3  # ~4/16
+    # every stratum sampled at a similar rate
+    per = (
+        hash_sample(docs, "doc_id").groupBy("lang").count().collect()
+    )
+    for r in per:
+        assert 0.15 < r["count"] / 800 < 0.35

@@ -1190,6 +1190,39 @@ def q_roundtrip_decimal(spark, sf_dir):
     )
 
 
+def q_rollup_revenue(spark, sf_dir):
+    """Multi-level aggregation surface: ROLLUP over (returnflag, linestatus)
+    — subtotal and grand-total rows alongside the leaf groups, all in one
+    pass (Catalyst expands grouping sets; partial aggregation still
+    applies)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_floor_cents(F.col("l_extendedprice"))).alias("sum_base_cents"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+def q_pivot_priority_status(spark, sf_dir):
+    """PIVOT surface: order counts per priority × status, statuses pinned
+    (explicit pivot values keep the plan a single pass — no distinct-values
+    pre-job) — the conditional-aggregation twin is exact."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .orderBy("o_orderpriority")
+    )
+
+
 def q_window_rank_orders(spark, sf_dir):
     from pyspark.sql import Window
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -1281,6 +1314,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "roundtrip_embeddings": q_roundtrip_embeddings,
         "roundtrip_decimal": q_roundtrip_decimal,
+        "rollup_revenue": q_rollup_revenue,
+        "pivot_priority_status": q_pivot_priority_status,
         "window_rank_orders": q_window_rank_orders,
         "semi_join_active_customers": q_semi_join_active_customers,
         "topk_orders": q_topk_orders,
@@ -1528,6 +1563,20 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
             SELECT l_returnflag, count(*) AS n,
                    CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2))) * 100 AS BIGINT) AS sum_price_cents
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "rollup_revenue": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   CAST(sum(CAST(floor(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+            ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """,
+        "pivot_priority_status": """
+            SELECT o_orderpriority,
+                   count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+                   count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+                   count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+            FROM orders GROUP BY 1 ORDER BY 1
         """,
         "window_rank_orders": """
             SELECT o_custkey, rn, o_orderkey FROM (

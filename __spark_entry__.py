@@ -688,13 +688,23 @@ def q_roundtrip_int96(spark, sf_dir):
         os.path.join(d, "orders_int96.parquet"),
         use_deprecated_int96_timestamps=True,
     )
-    spark.conf.set("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
-    src = spark.read.parquet(d)
-    root = tempfile.mkdtemp(prefix="parzig_int96_store_")
-    encode_table(
-        src, root, group_cols=["o_orderpriority"], salt_cols=["o_orderkey"],
-        target_bytes=32 << 20, resume=False,
-    ).count()
+    rebase_key = "spark.sql.parquet.int96RebaseModeInRead"
+    old_rebase = spark.conf.get(rebase_key, None)
+    spark.conf.set(rebase_key, "CORRECTED")
+    try:
+        src = spark.read.parquet(d)
+        root = tempfile.mkdtemp(prefix="parzig_int96_store_")
+        encode_table(
+            src, root, group_cols=["o_orderpriority"], salt_cols=["o_orderkey"],
+            target_bytes=32 << 20, resume=False,
+        ).count()  # the INT96 read is fully consumed by the encode action
+    finally:
+        # never leak the rebase mode into the shared session: later parquet
+        # reads must keep the default loud-failure semantics
+        if old_rebase is None:
+            spark.conf.unset(rebase_key)
+        else:
+            spark.conf.set(rebase_key, old_rebase)
     dec = decode_table(spark, root)
     return (
         dec.groupBy("o_orderpriority")

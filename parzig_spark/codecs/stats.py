@@ -77,8 +77,9 @@ def string_bloom_key(b: bytes) -> int:
 
 
 def bloom_build(arr: pa.Array, domain: str) -> str | None:
-    """base64 bloom of one page's non-null values (k=2 multiplicative
-    hashes into 8192 bits); None for empty/all-null pages."""
+    """base64 bloom of one page's non-null values (k=4 double-hashed probes
+    into a ~8-bits/value power-of-2 bitmap); None for empty/all-null
+    pages."""
     a = arr.drop_null() if arr.null_count else arr
     if len(a) == 0:
         return None
@@ -92,6 +93,15 @@ def bloom_build(arr: pa.Array, domain: str) -> str | None:
         padded[: len(data)] = data
         win = np.lib.stride_tricks.sliding_window_view(padded, 8)
         keys = win[starts].view("<u8").reshape(-1).byteswap()
+        # zero the tail bytes of strings shorter than 8 — the window reads
+        # into the NEXT string's bytes, but the probe key zero-pads
+        # (string_bloom_key); without the mask, build and probe keys
+        # disagree and the bloom produces FALSE NEGATIVES (silent row loss)
+        shift = ((8 - np.minimum(lengths, 8)) * 8).astype(np.uint64)
+        full = shift >= 64  # empty string: whole key masks to 0
+        shift = np.where(full, 0, shift).astype(np.uint64)
+        keys = (keys >> shift) << shift
+        keys[full] = 0
         keys = keys ^ lengths.astype(np.uint64)
     m = _bloom_m_for(len(keys))
     bits = np.zeros(m, bool)
@@ -119,34 +129,44 @@ def bloom_may_contain(bloom_b64: str, domain: str, val) -> bool:
         key = np.uint64(string_bloom_key(val.encode()))
     else:
         return True
-    bits = np.unpackbits(np.frombuffer(base64.b64decode(bloom_b64), np.uint8))
-    m = len(bits)  # power of 2 by construction
+    buf = np.frombuffer(base64.b64decode(bloom_b64), np.uint8)
+    m = len(buf) * 8  # power of 2 by construction
+    # index the packed bytes directly (packbits is MSB-first) — probing a
+    # page must not unpack the whole bitmap per call
     return all(
-        bool(bits[int(pos[0])])
+        (int(buf[int(pos[0]) >> 3]) >> (7 - (int(pos[0]) & 7))) & 1
         for pos in _bloom_probes(np.array([key], np.uint64), m)
     )
+
+
+def increment_string(s: str) -> str | None:
+    """Smallest string strictly greater than EVERY string prefixed by ``s``:
+    increment the last incrementable code point (skipping the unencodable
+    surrogate gap). None when no such bound exists (all-U+10FFFF).
+    Comparison domain is code points — identical to UTF-8 byte order, which
+    both Spark's UTF8String and Python use. Shared by the truncated stat
+    upper bound here and the decode-side LIKE-prefix interval — one
+    arithmetic, so the two can never diverge."""
+    for i in range(len(s) - 1, -1, -1):
+        cp = ord(s[i])
+        if cp < 0x10FFFF:
+            nxt = cp + 1
+            if 0xD800 <= nxt <= 0xDFFF:  # skip the unencodable surrogate gap
+                nxt = 0xE000
+            return s[:i] + chr(nxt)
+    return None
 
 
 def string_upper_bound(s: str, limit: int = STR_STAT_CHARS) -> str | None:
     """Truncated-but-SOUND upper bound for a string max — the Parquet
     Statistics trick (the reference parses exactly these Statistics,
     /root/reference/src/generated/parquet.zig:55-76): truncate to ``limit``
-    code points, then increment the last incrementable one so the result is
-    strictly greater than every string sharing the truncated prefix.
-    Returns ``s`` itself when it already fits; None when no bound exists
-    (all-U+10FFFF prefix). Comparison domain is code points — identical to
-    UTF-8 byte order, which both Spark's UTF8String and Python use."""
+    code points, then :func:`increment_string` so the result is strictly
+    greater than every string sharing the truncated prefix. Returns ``s``
+    itself when it already fits; None when no bound exists."""
     if len(s) <= limit:
         return s
-    t = s[:limit]
-    for i in range(len(t) - 1, -1, -1):
-        cp = ord(t[i])
-        if cp < 0x10FFFF:
-            nxt = cp + 1
-            if 0xD800 <= nxt <= 0xDFFF:  # skip the unencodable surrogate gap
-                nxt = 0xE000
-            return t[:i] + chr(nxt)
-    return None
+    return increment_string(s[:limit])
 
 
 def column_minmax(arr: pa.Array) -> tuple[str | None, str | None]:

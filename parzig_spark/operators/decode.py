@@ -189,19 +189,10 @@ def decoded_schema(
     return cols, ", ".join(ddl), casts
 
 
-def _prefix_upper(prefix: str) -> str | None:
-    """Smallest string greater than EVERY string starting with ``prefix``
-    (increment the last incrementable code point; skip the surrogate gap —
-    the same arithmetic as encode.string_upper_bound). None when no such
-    bound exists (all-U+10FFFF prefix)."""
-    for i in range(len(prefix) - 1, -1, -1):
-        cp = ord(prefix[i])
-        if cp < 0x10FFFF:
-            nxt = cp + 1
-            if 0xD800 <= nxt <= 0xDFFF:
-                nxt = 0xE000
-            return prefix[:i] + chr(nxt)
-    return None
+# LIKE-'p%' matches live in [p, increment_string(p)) — the SAME increment
+# arithmetic that produces the encode-side truncated stat upper bounds, so
+# the prefix interval and the stored bounds can never diverge.
+from ..codecs.stats import increment_string as _prefix_upper  # noqa: E402
 
 
 def _exclusion_condition(op: str, val) -> "F.Column":
@@ -253,7 +244,13 @@ def _page_may_match(
         return True
     numeric = isinstance(val, (int, float)) and not isinstance(val, bool)
     if numeric:
-        lo, hi, v = float(pmin), float(pmax), float(val)
+        try:
+            lo, hi, v = float(pmin), float(pmax), float(val)
+        except (TypeError, ValueError):
+            # numeric predicate against non-numeric stats (string/temporal
+            # column): undecidable here — keep the page, mirroring the
+            # partition-level twin where cast('double') nulls out
+            return True
     else:
         lo, hi, v = str(pmin), str(pmax), str(val)
     if op == ">=":

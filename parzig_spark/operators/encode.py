@@ -364,6 +364,8 @@ def encode_table(
             return
         full = pa.concat_tables(incoming)
         del incoming
+        if full.num_rows == 0:
+            return  # a task can receive only zero-row batches
         if sort_cols:
             full = full.sort_by(
                 [("pid", "ascending")] + [(c, "ascending") for c in sort_cols]

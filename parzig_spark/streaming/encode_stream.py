@@ -43,29 +43,41 @@ def claim_namespace(store_root: str, namespace: int, digest_hex: str) -> None:
     # Write-then-hardlink: the marker appears atomically WITH its digest.
     # (An O_EXCL create followed by a write can crash in between, leaving an
     # empty marker that would permanently reject replays of the same batch.)
-    tmp = os.path.join(d, f".tmp-{namespace}-{os.getpid()}-{digest_hex[:8]}")
-    with open(tmp, "w") as f:
-        f.write(digest_hex)
-        f.flush()
-        os.fsync(f.fileno())
-    try:
-        os.link(tmp, path)  # atomic claim: fails iff the marker already exists
-        return
-    except FileExistsError:
-        pass
-    finally:
-        os.unlink(tmp)
-    with open(path) as f:
-        existing = f.read()
-    if existing == "":
-        # Partial marker from a pre-fix crash window: no batch ever owned it
-        # (the digest never landed), so treat as unclaimed and rewrite
-        # atomically with this batch's fingerprint.
-        tmp2 = os.path.join(d, f".tmp2-{namespace}-{os.getpid()}")
-        with open(tmp2, "w") as f:
+    existing = None
+    for _ in range(4):
+        tmp = os.path.join(d, f".tmp-{namespace}-{os.getpid()}-{digest_hex[:8]}")
+        with open(tmp, "w") as f:
             f.write(digest_hex)
-        os.replace(tmp2, path)
-        return
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, path)  # atomic claim: fails iff the marker exists
+            return
+        except FileExistsError:
+            pass
+        finally:
+            os.unlink(tmp)
+        try:
+            with open(path) as f:
+                existing = f.read()
+        except FileNotFoundError:
+            continue  # a racing adopter unlinked it — retry the atomic claim
+        if existing != "":
+            break
+        # Partial marker from a pre-fix crash window: no batch ever owned it
+        # (the digest never landed). Unlink it and RETRY the atomic link —
+        # an unconditional rewrite here would let two concurrent batches
+        # both adopt the namespace; with unlink+link exactly one wins and
+        # the loser falls through to the digest comparison below.
+        try:
+            os.unlink(path)
+        except FileNotFoundError:
+            pass
+    else:
+        raise RuntimeError(
+            f"claim_namespace: could not claim namespace {namespace} in "
+            f"{store_root} after repeated empty-marker races"
+        )
     if existing != digest_hex:
         raise RuntimeError(
             f"pid namespace collision in {store_root}: namespace {namespace} "

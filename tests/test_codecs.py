@@ -457,3 +457,36 @@ def test_bloom_page_filters():
         pa.array(np.linspace(0, 1, 3000)), "plain", page_values=1024
     )
     assert "bloom_domain" not in fmeta
+
+
+def test_bloom_short_strings_no_false_negatives():
+    """Round-4 review finding: strings shorter than 8 bytes used to absorb
+    the NEXT string's bytes into their build key while the probe key
+    zero-padded — build/probe disagreement = bloom false negatives = silent
+    row loss. Every present short string must now pass."""
+    from parzig_spark.codecs.stats import bloom_build, bloom_may_contain
+
+    vals = ["abc", "xyz", "hello", "zz", "", "a", "12345678", "123456789"]
+    arr = pa.array(vals * 3)
+    b = bloom_build(arr, "str")
+    for v in vals:
+        assert bloom_may_contain(b, "str", v), f"false negative for {v!r}"
+    # langs/priorities-style short codes specifically
+    codes = pa.array(["zh", "en", "de", "fr", "es", "5-LOW", "1-URGENT"])
+    b2 = bloom_build(codes, "str")
+    for v in ["zh", "en", "5-LOW", "1-URGENT"]:
+        assert bloom_may_contain(b2, "str", v)
+    # and absent short strings still mostly prune
+    miss = sum(bloom_may_contain(b2, "str", f"q{i}") for i in range(100))
+    assert miss < 30
+
+
+def test_page_may_match_type_mismatch_is_conservative():
+    """Numeric predicate against string/temporal page stats must keep the
+    page (partition-level twin nulls out via cast), never crash."""
+    from parzig_spark.operators.decode import _page_may_match
+
+    assert _page_may_match(">=", 3, "1-URGENT", "5-LOW") is True
+    assert _page_may_match("==", 1.5, "2024-01-01", "2024-02-01") is True
+    # and real numeric stats still exclude
+    assert _page_may_match(">=", 10, "1", "5") is False

@@ -451,6 +451,35 @@ def q_roundtrip_documents(spark, sf_dir):
     )
 
 
+def q_roundtrip_compacted(spark, sf_dir):
+    """Store maintenance end to end, oracle-gated: documents encoded under a
+    deliberately tiny partition target (the streaming/backfill small-file
+    pathology), then compact_store bin-packs the fragments into few large
+    partitions (the Iceberg rewrite_data_files analog — no shuffle, one
+    task per merge group) and gc_store scrubs superseded snapshots; the
+    COMPACTED store must decode bit-identical to the source."""
+    from parzig_spark.operators import compact_store, gc_store
+
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src_root = tempfile.mkdtemp(prefix="parzig_frag_")
+    dst_root = tempfile.mkdtemp(prefix="parzig_compacted_")
+    encode_table(
+        src, src_root, group_cols=["lang", "source"], salt_cols=["doc_id"],
+        size_col="text", sort_cols=["doc_id"], target_bytes=256 << 10,
+        resume=False,
+    ).count()
+    compact_store(spark, src_root, dst_root, target_bytes=32 << 20).count()
+    gc_store(dst_root)
+    dec = decode_table(spark, dst_root)
+    return dec.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.sha2("text", 256).alias("text_sha"),
+    )
+
+
 def q_roundtrip_lineitem_q1(spark, sf_dir):
     dec = _roundtrip(spark, sf_dir, "lineitem", ["l_returnflag", "l_linestatus"], ["l_orderkey"], sort_cols=["l_orderkey", "l_linenumber"])
     return (
@@ -1282,6 +1311,7 @@ def q_distinct_part_types(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "roundtrip_documents": q_roundtrip_documents,
+        "roundtrip_compacted": q_roundtrip_compacted,
         "roundtrip_lineitem_q1": q_roundtrip_lineitem_q1,
         "roundtrip_orders": q_roundtrip_orders,
         "roundtrip_pruned": q_roundtrip_pruned,
@@ -1340,6 +1370,10 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
     SPARK_GRAFT_ORACLE_SF_DIR / the driver gate's sf0.01 default."""
     return {
         "roundtrip_documents": """
+            SELECT doc_id, lang, source, n_chars, sha256(text) AS text_sha
+            FROM documents
+        """,
+        "roundtrip_compacted": """
             SELECT doc_id, lang, source, n_chars, sha256(text) AS text_sha
             FROM documents
         """,

@@ -1,0 +1,381 @@
+"""Store maintenance: partition compaction and orphan-blob GC.
+
+The 100-TB operational gap the encode/decode pair leaves open: a store fed
+by many small encode jobs (streaming micro-batches, incremental backfills)
+accumulates thousands of under-sized partitions, and every decode then pays
+per-partition fixed costs (task schedule, manifest row, blob open, outer
+decompress) out of proportion to the bytes moved. Compaction is the
+Iceberg ``rewrite_data_files`` analog over our manifest store; GC is
+``remove_orphan_files``. The reference has no write path at all, so there
+is nothing to cite beyond the store layout both operators maintain (the
+ColumnMetaData analog, /root/reference/src/generated/parquet.zig:382-419).
+
+Scale shape: NO shuffle anywhere. The plan is pure driver arithmetic over
+the manifest summary (bytes per pid — KBs even at 10^12 files via the
+snapshot), and the rewrite is an embarrassingly parallel map: one task per
+merge group reads only its own source blobs, re-encodes, and commits one
+destination partition. Wall-clock scales with bytes rewritten / executors,
+exactly like the encode job itself.
+
+Determinism/resume: a merge group's destination pid is a pure function of
+its sorted source pids (content-derived themselves), rows are re-sorted by
+the store's canonical sort_cols before encoding, and the destination commit
+is the same first-marker-wins protocol — so retries rewrite byte-identical
+blobs and a resumed compaction skips committed groups before reading any
+blob.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+
+from ..codecs import decode_column, encode_column
+from ..plans.manifest import FORMAT_VERSION, ManifestStore
+from .encode import SUMMARY_SCHEMA, column_digest, column_minmax
+
+
+def _dst_pid(src_pids: list[int]) -> int:
+    """Destination pid for a merge group: pure function of the (sorted)
+    source pids, which are themselves content-derived — so compaction
+    preserves the store invariant that pids never depend on task ids,
+    parallelism, or wall clock (CLAUDE.md)."""
+    h = hashlib.sha256(json.dumps(sorted(int(p) for p in src_pids)).encode()).digest()
+    return int.from_bytes(h[:8], "big") & ((1 << 62) - 1)
+
+
+def plan_compaction(
+    store: ManifestStore, target_bytes: int = 64 << 20
+) -> list[list[int]]:
+    """Greedy bin-pack of committed partitions into merge groups.
+
+    Driver cost is O(partitions) over the manifest snapshot's (pid,
+    raw_bytes) summary — KBs per million partitions, no blob I/O. Packing
+    key is RAW bytes (decoded size bounds the rewrite task's memory, and it
+    is the same unit encode_table targets). Partitions already at ≥ half
+    the target stay untouched (rewriting them buys nothing), matching the
+    ``min-input-files``-style guard of Iceberg's rewrite action. Groups are
+    built over ascending pids, so the plan is deterministic for a given
+    committed set."""
+    m = store.read_manifests()
+    if m.num_rows == 0:
+        return []
+    per_pid: dict[int, int] = {}
+    for pid, nbytes in zip(
+        m.column("pid").to_pylist(), m.column("raw_bytes").to_pylist()
+    ):
+        per_pid[int(pid)] = per_pid.get(int(pid), 0) + int(nbytes or 0)
+    groups: list[list[int]] = []
+    cur: list[int] = []
+    cur_bytes = 0
+    for pid in sorted(per_pid):
+        b = per_pid[pid]
+        if b >= target_bytes // 2:
+            continue  # already big enough — leave in place
+        if cur and cur_bytes + b > target_bytes:
+            groups.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append(pid)
+        cur_bytes += b
+    if cur:
+        groups.append(cur)
+    # a group of one small partition still rewrites into the destination
+    # store (compaction's contract: dst holds EVERY source row), but two
+    # stores sharing no partitions is the common outcome worth noting in
+    # the summary rather than skipping here.
+    return groups
+
+
+def compact_store(
+    spark: SparkSession,
+    src_root: str,
+    dst_root: str,
+    target_bytes: int = 64 << 20,
+    resume: bool = True,
+    outer: str | None = "auto",
+) -> DataFrame:
+    """Rewrite ``src_root``'s under-sized partitions into ``dst_root``.
+
+    Returns the per-column summary DataFrame (same schema as encode_table);
+    materializing it runs the job. Partitions already ≥ target/2 raw bytes
+    are copied through blob-for-blob (no re-encode — their bytes are
+    already the right shape), so ``dst_root`` always holds the complete
+    row set of ``src_root`` and can be decoded/verified standalone.
+    """
+    src = ManifestStore(src_root)
+    src.check_format()
+    with open(os.path.join(src_root, "store_config.json")) as f:
+        src_config = json.load(f)
+    sort_cols: list[str] = src_config.get("sort_cols") or []
+    groups = plan_compaction(src, target_bytes)
+    grouped_pids = {p for g in groups for p in g}
+    passthrough = sorted(src.committed_pids() - grouped_pids)
+
+    dst = ManifestStore(dst_root)
+    dst.ensure_config(
+        {
+            "format": FORMAT_VERSION,
+            "compacted_from": {
+                k: src_config.get(k)
+                for k in ("group_cols", "salt_cols", "sort_cols", "columns")
+            },
+            "target_bytes": target_bytes,
+            "columns": src_config.get("columns"),
+        }
+    )
+
+    # Passthrough partitions: blob-for-blob hardlink/copy + manifest reuse.
+    # Driver-side file ops bounded by partition count (not bytes — hardlink
+    # when the stores share a filesystem).
+    for pid in passthrough:
+        if dst.is_committed(pid):
+            continue
+        src_dir = os.path.join(src.blob_dir, str(pid))
+        dst_dir = os.path.join(dst.blob_dir, str(pid))
+        os.makedirs(dst_dir, exist_ok=True)
+        for fname in os.listdir(src_dir):
+            s, d = os.path.join(src_dir, fname), os.path.join(dst_dir, fname)
+            if not os.path.exists(d):
+                try:
+                    os.link(s, d)
+                except OSError:
+                    shutil.copy2(s, d)
+        shutil.copy2(
+            os.path.join(src.manifest_dir, f"part-{pid}.parquet"),
+            os.path.join(dst.manifest_dir, f"part-{pid}.parquet"),
+        )
+        try:
+            fd = os.open(dst._marker_path(pid), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+        except FileExistsError:
+            pass
+
+    work = groups
+    if resume:
+        work = [g for g in groups if not dst.is_committed(_dst_pid(g))]
+
+    if not work:
+        return spark.createDataFrame([], SUMMARY_SCHEMA)
+
+    # One task per merge group; the group spec (pids) is the only thing
+    # shuffled to executors — bytes move only within each task.
+    spec_df = spark.createDataFrame(
+        [(json.dumps(g),) for g in work], "group_json string"
+    ).repartition(len(work))
+
+    def rewrite(batches):
+        src_local = ManifestStore(src_root)
+        dst_local = ManifestStore(dst_root)
+        for batch in batches:
+            for spec in batch.column("group_json").to_pylist():
+                pids = json.loads(spec)
+                new_pid = _dst_pid(pids)
+                already = dst_local.is_committed(new_pid)
+                out_rows = []
+                if not already:
+                    # per-column: decode each source partition, concat in
+                    # ascending-pid order, canonical re-sort, re-encode with
+                    # the codec the source manifests already chose (the
+                    # table-level sampled plan made it uniform across pids)
+                    metas: dict[str, list[tuple[int, dict, str]]] = {}
+                    for pid in pids:
+                        t = pq.read_table(
+                            os.path.join(
+                                src_local.manifest_dir, f"part-{pid}.parquet"
+                            )
+                        )
+                        for row in t.to_pylist():
+                            metas.setdefault(row["column"], []).append(
+                                (pid, json.loads(row["meta_json"]), row["codec"])
+                            )
+                    columns = src_config.get("columns") or sorted(metas)
+                    decoded: dict[str, pa.Array] = {}
+                    for name in columns:
+                        parts = [
+                            decode_column(src_local.read_blob(pid, name), m)
+                            for pid, m, _ in sorted(metas[name])
+                        ]
+                        decoded[name] = pa.chunked_array(parts).combine_chunks()
+                    table = pa.table(decoded)
+                    usable_sort = [c for c in sort_cols if c in decoded]
+                    if usable_sort:
+                        table = table.sort_by([(c, "ascending") for c in usable_sort])
+                    rows, blobs = [], {}
+                    for name in columns:
+                        arr = table.column(name)
+                        arr = (
+                            arr.chunk(0) if arr.num_chunks == 1 else arr.combine_chunks()
+                        )
+                        codec = sorted(metas[name])[0][2]
+                        t0 = time.perf_counter()
+                        blob, meta = encode_column(arr, codec, outer=outer)
+                        dt = time.perf_counter() - t0
+                        smin, smax = column_minmax(arr)
+                        blobs[name] = blob
+                        rows.append(
+                            {
+                                "stat_min": smin,
+                                "stat_max": smax,
+                                "pid": new_pid,
+                                "column": name,
+                                "codec": codec,
+                                "n_values": len(arr),
+                                "raw_bytes": arr.nbytes,
+                                "enc_bytes": len(blob),
+                                "meta_json": json.dumps(meta, separators=(",", ":")),
+                                "lineage_json": json.dumps(
+                                    {"plan": "compaction", "src_pids": sorted(pids)},
+                                    separators=(",", ":"),
+                                ),
+                                "sha256": column_digest(arr),
+                                "encode_s": dt,
+                                "blob_file": dst_local.blob_path(new_pid, name),
+                            }
+                        )
+                    dst_local.write_partition(new_pid, rows, blobs)
+                    out_rows = [
+                        {
+                            "pid": new_pid,
+                            "column": r["column"],
+                            "codec": r["codec"],
+                            "n_values": r["n_values"],
+                            "raw_bytes": r["raw_bytes"],
+                            "enc_bytes": r["enc_bytes"],
+                            "encode_s": r["encode_s"],
+                            "committed": True,
+                        }
+                        for r in rows
+                    ]
+                else:
+                    out_rows = [
+                        {
+                            "pid": new_pid,
+                            "column": "",
+                            "codec": "",
+                            "n_values": 0,
+                            "raw_bytes": 0,
+                            "enc_bytes": 0,
+                            "encode_s": 0.0,
+                            "committed": False,
+                        }
+                    ]
+                schema = pa.schema(
+                    [
+                        ("pid", pa.int64()),
+                        ("column", pa.string()),
+                        ("codec", pa.string()),
+                        ("n_values", pa.int64()),
+                        ("raw_bytes", pa.int64()),
+                        ("enc_bytes", pa.int64()),
+                        ("encode_s", pa.float64()),
+                        ("committed", pa.bool_()),
+                    ]
+                )
+                yield pa.RecordBatch.from_pylist(out_rows, schema=schema)
+
+    return spec_df.mapInArrow(rewrite, schema=SUMMARY_SCHEMA)
+
+
+def gc_store(root: str, min_age_s: float = 0.0) -> dict:
+    """Remove artifacts no committed partition references — the
+    ``remove_orphan_files`` analog. Orphans exist by design: a task killed
+    between blob write and marker creation leaves an invisible (never
+    decoded) but space-consuming partition dir; speculative duplicates
+    leave ``.tmp-*`` files; snapshot compaction leaves superseded
+    snapshots.
+
+    ``min_age_s`` guards in-flight work in production (an encode job's
+    partitions are uncommitted until their marker lands): only artifacts
+    older than this are touched. Tests pass 0.
+
+    Driver-side listdir of blob/manifest dirs — O(partitions); at real
+    scale this runs as a periodic maintenance job exactly like Iceberg's.
+    Returns counts: {"orphan_dirs", "orphan_manifests", "tmp_files",
+    "old_snapshots", "bytes_reclaimed"}.
+    """
+    store = ManifestStore(root)
+    committed = store.committed_pids()
+    now = time.time()
+    stats = {
+        "orphan_dirs": 0,
+        "orphan_manifests": 0,
+        "tmp_files": 0,
+        "old_snapshots": 0,
+        "bytes_reclaimed": 0,
+    }
+
+    def old_enough(path: str) -> bool:
+        try:
+            return now - os.path.getmtime(path) >= min_age_s
+        except OSError:
+            return False
+
+    def tree_bytes(path: str) -> int:
+        total = 0
+        for dirpath, _, files in os.walk(path):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(dirpath, f))
+                except OSError:
+                    pass
+        return total
+
+    # uncommitted blob dirs + stray tmp files inside committed ones
+    if os.path.isdir(store.blob_dir):
+        for entry in os.listdir(store.blob_dir):
+            p = os.path.join(store.blob_dir, entry)
+            if entry.isdigit() and int(entry) not in committed:
+                if old_enough(p):
+                    stats["bytes_reclaimed"] += tree_bytes(p)
+                    shutil.rmtree(p, ignore_errors=True)
+                    stats["orphan_dirs"] += 1
+            elif os.path.isdir(p):
+                for f in os.listdir(p):
+                    if ".tmp-" in f:
+                        fp = os.path.join(p, f)
+                        if old_enough(fp):
+                            stats["bytes_reclaimed"] += os.path.getsize(fp)
+                            os.unlink(fp)
+                            stats["tmp_files"] += 1
+
+    # manifests without a marker, and manifest tmp litter
+    if os.path.isdir(store.manifest_dir):
+        for f in os.listdir(store.manifest_dir):
+            fp = os.path.join(store.manifest_dir, f)
+            if ".tmp-" in f:
+                if old_enough(fp):
+                    stats["bytes_reclaimed"] += os.path.getsize(fp)
+                    os.unlink(fp)
+                    stats["tmp_files"] += 1
+            elif f.startswith("part-") and f.endswith(".parquet"):
+                pid = int(f[len("part-") : -len(".parquet")])
+                if pid not in committed and old_enough(fp):
+                    stats["bytes_reclaimed"] += os.path.getsize(fp)
+                    os.unlink(fp)
+                    stats["orphan_manifests"] += 1
+
+    # superseded snapshots (readers only ever open the latest)
+    snap_dir = os.path.join(root, "snapshots")
+    if os.path.isdir(snap_dir):
+        snaps = sorted(f for f in os.listdir(snap_dir) if f.endswith(".parquet"))
+        for f in snaps[:-1]:
+            fp = os.path.join(snap_dir, f)
+            if old_enough(fp):
+                stats["bytes_reclaimed"] += os.path.getsize(fp)
+                os.unlink(fp)
+                stats["old_snapshots"] += 1
+        for f in os.listdir(snap_dir):
+            if ".tmp-" in f:
+                fp = os.path.join(snap_dir, f)
+                if old_enough(fp):
+                    stats["bytes_reclaimed"] += os.path.getsize(fp)
+                    os.unlink(fp)
+                    stats["tmp_files"] += 1
+    return stats

@@ -1,0 +1,179 @@
+"""Store maintenance: compaction (rewrite small partitions) and orphan GC.
+
+Compaction must preserve the full row set bit-exactly (verify_roundtrip),
+reduce partition count, commit deterministically (byte-identical blobs
+across runs), resume as a no-op, and pass big-enough partitions through
+without re-encoding. GC must reclaim only unreferenced artifacts.
+"""
+
+import json
+import os
+import shutil
+
+import pytest
+
+from parzig_spark.operators import (
+    compact_store,
+    decode_table,
+    encode_table,
+    gc_store,
+    plan_compaction,
+    verify_roundtrip,
+)
+from parzig_spark.plans.manifest import ManifestStore
+from parzig_spark.sources import source_code_table
+
+KEYS = ["repo", "path", "commit"]
+
+
+@pytest.fixture(scope="module")
+def fragmented(spark, tmp_path_factory):
+    """A store deliberately shredded into many tiny partitions (the
+    streaming/backfill small-file pathology compaction exists for)."""
+    corpus = source_code_table(spark, n_rows=2000, partitions=8)
+    corpus.cache().count()
+    root = str(tmp_path_factory.mktemp("compact") / "src")
+    encode_table(
+        corpus,
+        root,
+        group_cols=["repo", "lang"],
+        salt_cols=["path", "commit"],
+        sort_cols=KEYS,
+        size_col="content",
+        target_bytes=64 << 10,  # tiny → many partitions
+        resume=False,
+    ).count()
+    return corpus, root
+
+
+def test_compact_roundtrip_and_shrinks(spark, fragmented, tmp_path):
+    corpus, src_root = fragmented
+    dst_root = str(tmp_path / "dst")
+    summary = compact_store(spark, src_root, dst_root, target_bytes=2 << 20).toPandas()
+    assert (summary["committed"]).all()
+    n_src = len(ManifestStore(src_root).committed_pids())
+    n_dst = len(ManifestStore(dst_root).committed_pids())
+    assert n_dst < n_src, f"compaction must shrink partition count ({n_src}->{n_dst})"
+    decoded = decode_table(spark, dst_root)
+    report = verify_roundtrip(corpus, decoded, KEYS, ["lang", "content"])
+    assert report["ok"], report
+
+
+def test_compact_resume_noop(spark, fragmented, tmp_path):
+    _, src_root = fragmented
+    dst_root = str(tmp_path / "dst")
+    compact_store(spark, src_root, dst_root, target_bytes=2 << 20).count()
+    committed = ManifestStore(dst_root).committed_pids()
+    again = compact_store(spark, src_root, dst_root, target_bytes=2 << 20).toPandas()
+    assert len(again) == 0, "fully-compacted store must rewrite nothing"
+    assert ManifestStore(dst_root).committed_pids() == committed
+
+
+def test_compact_blobs_deterministic(spark, fragmented, tmp_path):
+    _, src_root = fragmented
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    compact_store(spark, src_root, a, target_bytes=2 << 20).count()
+    compact_store(spark, src_root, b, target_bytes=2 << 20).count()
+    sa, sb = ManifestStore(a), ManifestStore(b)
+    assert sa.committed_pids() == sb.committed_pids()
+    for pid in sa.committed_pids():
+        for f in sorted(os.listdir(os.path.join(sa.blob_dir, str(pid)))):
+            col = f[: -len(".bin")]
+            assert sa.read_blob(pid, col) == sb.read_blob(pid, col), (pid, col)
+
+
+def test_compact_passthrough_keeps_big_partitions(spark, fragmented, tmp_path):
+    _, src_root = fragmented
+    dst_root = str(tmp_path / "dst")
+    # target below every partition's raw size → everything is "big enough",
+    # nothing re-encodes, blobs pass through byte-identical
+    summary = compact_store(spark, src_root, dst_root, target_bytes=1024).toPandas()
+    assert len(summary) == 0
+    src, dst = ManifestStore(src_root), ManifestStore(dst_root)
+    assert dst.committed_pids() == src.committed_pids()
+    pid = sorted(src.committed_pids())[0]
+    assert src.read_blob(pid, "content") == dst.read_blob(pid, "content")
+
+
+def test_plan_compaction_groups_are_bounded(fragmented):
+    _, src_root = fragmented
+    store = ManifestStore(src_root)
+    target = 1 << 20
+    groups = plan_compaction(store, target_bytes=target)
+    assert groups, "tiny partitions must produce merge groups"
+    m = store.read_manifests()
+    per_pid: dict[int, int] = {}
+    for pid, b in zip(m.column("pid").to_pylist(), m.column("raw_bytes").to_pylist()):
+        per_pid[int(pid)] = per_pid.get(int(pid), 0) + int(b)
+    seen = set()
+    for g in groups:
+        for p in g:
+            assert p not in seen, "a pid may appear in at most one group"
+            seen.add(p)
+        # bin-packing honors the byte bound unless a single pid exceeds it
+        if len(g) > 1:
+            assert sum(per_pid[p] for p in g) <= target
+
+
+def test_gc_store_reclaims_only_orphans(spark, fragmented, tmp_path):
+    corpus, src_root = fragmented
+    # work on a copy — the fixture store is shared across tests
+    root = str(tmp_path / "store")
+    shutil.copytree(src_root, root)
+    store = ManifestStore(root)
+    committed = store.committed_pids()
+    # forge a crashed task's leavings: blobs + manifest but NO marker
+    orphan_dir = os.path.join(store.blob_dir, "999999999")
+    os.makedirs(orphan_dir)
+    with open(os.path.join(orphan_dir, "content.bin"), "wb") as f:
+        f.write(b"x" * 1024)
+    with open(
+        os.path.join(store.manifest_dir, "part-999999999.parquet"), "wb"
+    ) as f:
+        f.write(b"not-a-real-parquet")
+    # speculative-duplicate tmp litter inside a committed dir
+    pid0 = sorted(committed)[0]
+    tmp_file = os.path.join(store.blob_dir, str(pid0), "content.bin.tmp-dead")
+    with open(tmp_file, "wb") as f:
+        f.write(b"y" * 512)
+    # superseded snapshot
+    store.write_snapshot()
+    store.write_snapshot()
+
+    # an age guard in the future touches nothing
+    untouched = gc_store(root, min_age_s=3600)
+    assert untouched["orphan_dirs"] == 0 and untouched["tmp_files"] == 0
+    assert os.path.isdir(orphan_dir)
+
+    stats = gc_store(root, min_age_s=0)
+    assert stats["orphan_dirs"] == 1
+    assert stats["orphan_manifests"] == 1
+    assert stats["tmp_files"] == 1
+    assert stats["old_snapshots"] >= 1
+    assert stats["bytes_reclaimed"] > 0
+    assert not os.path.exists(orphan_dir)
+    assert not os.path.exists(tmp_file)
+    # committed data untouched and still verifies
+    assert store.committed_pids() == committed
+    report = verify_roundtrip(
+        corpus, decode_table(spark, root), KEYS, ["lang", "content"]
+    )
+    assert report["ok"], report
+
+
+def test_compact_lineage_records_sources(spark, fragmented, tmp_path):
+    _, src_root = fragmented
+    dst_root = str(tmp_path / "dst")
+    compact_store(spark, src_root, dst_root, target_bytes=2 << 20).count()
+    dst = ManifestStore(dst_root)
+    src_pids = set(ManifestStore(src_root).committed_pids())
+    m = dst.read_manifests()
+    rewritten = [
+        json.loads(lj)
+        for lj in m.column("lineage_json").to_pylist()
+        if lj and "compaction" in lj
+    ]
+    assert rewritten, "rewritten partitions must carry compaction lineage"
+    for lin in rewritten:
+        assert lin["plan"] == "compaction"
+        assert set(lin["src_pids"]) <= src_pids

@@ -480,6 +480,53 @@ def q_roundtrip_compacted(spark, sf_dir):
     )
 
 
+def _two_batch_store(spark, sf_dir):
+    """Documents encoded as two batches (distinct pid namespaces — the
+    streaming micro-batch shape) with a snapshot between them: the fixture
+    for time-travel and incremental reads. Batch split is the deterministic
+    predicate lang < 'm', reproducible in the DuckDB twin."""
+    from parzig_spark.plans.manifest import ManifestStore
+
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    root = tempfile.mkdtemp(prefix="parzig_tt_")
+    common = dict(
+        group_cols=["lang", "source"], salt_cols=["doc_id"], size_col="text",
+        sort_cols=["doc_id"], target_bytes=32 << 20, bucket_bits=16,
+    )
+    encode_table(
+        src.filter(F.col("lang") < "m"), root, pid_namespace=1, resume=False, **common
+    ).count()
+    ManifestStore(root).write_snapshot()  # version 0: first batch only
+    encode_table(
+        src.filter(~(F.col("lang") < "m")), root, pid_namespace=2, resume=True, **common
+    ).count()
+    ManifestStore(root).write_snapshot()  # version 1: both
+    return root
+
+
+def q_time_travel(spark, sf_dir):
+    """Snapshot time travel, oracle-gated (the Iceberg VERSION AS OF
+    analog): reading the two-batch store at snapshot version 0 must see
+    EXACTLY the first batch — later commits invisible — bit-identical to
+    the source rows matching the batch predicate."""
+    root = _two_batch_store(spark, sf_dir)
+    dec = decode_table(spark, root, snapshot=0)
+    return dec.select(
+        "doc_id", "lang", "n_chars", F.sha2("text", 256).alias("text_sha")
+    )
+
+
+def q_incremental_read(spark, sf_dir):
+    """Incremental (CDC-style) read, oracle-gated: partitions committed
+    AFTER snapshot version 0 are exactly the second batch — the append-scan
+    a downstream consumer tails without rescanning the store."""
+    root = _two_batch_store(spark, sf_dir)
+    dec = decode_table(spark, root, since_snapshot=0)
+    return dec.select(
+        "doc_id", "lang", "n_chars", F.sha2("text", 256).alias("text_sha")
+    )
+
+
 def q_roundtrip_lineitem_q1(spark, sf_dir):
     dec = _roundtrip(spark, sf_dir, "lineitem", ["l_returnflag", "l_linestatus"], ["l_orderkey"], sort_cols=["l_orderkey", "l_linenumber"])
     return (
@@ -1312,6 +1359,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "roundtrip_documents": q_roundtrip_documents,
         "roundtrip_compacted": q_roundtrip_compacted,
+        "time_travel": q_time_travel,
+        "incremental_read": q_incremental_read,
         "roundtrip_lineitem_q1": q_roundtrip_lineitem_q1,
         "roundtrip_orders": q_roundtrip_orders,
         "roundtrip_pruned": q_roundtrip_pruned,
@@ -1376,6 +1425,14 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "roundtrip_compacted": """
             SELECT doc_id, lang, source, n_chars, sha256(text) AS text_sha
             FROM documents
+        """,
+        "time_travel": """
+            SELECT doc_id, lang, n_chars, sha256(text) AS text_sha
+            FROM documents WHERE lang < 'm'
+        """,
+        "incremental_read": """
+            SELECT doc_id, lang, n_chars, sha256(text) AS text_sha
+            FROM documents WHERE NOT (lang < 'm')
         """,
         "roundtrip_lineitem_q1": """
             SELECT l_returnflag, l_linestatus,

@@ -147,10 +147,16 @@ def compact_store(
                     os.link(s, d)
                 except OSError:
                     shutil.copy2(s, d)
-        shutil.copy2(
-            os.path.join(src.manifest_dir, f"part-{pid}.parquet"),
-            os.path.join(dst.manifest_dir, f"part-{pid}.parquet"),
+        # manifest rides along with blob_file re-pointed at the destination
+        # store (it is informational lineage, but a path into another store
+        # would be a lie)
+        t = pq.read_table(os.path.join(src.manifest_dir, f"part-{pid}.parquet"))
+        cols = t.column_names
+        fixed = pa.array(
+            [dst.blob_path(pid, c) for c in t.column("column").to_pylist()]
         )
+        t = t.set_column(cols.index("blob_file"), "blob_file", fixed)
+        pq.write_table(t, os.path.join(dst.manifest_dir, f"part-{pid}.parquet"))
         try:
             fd = os.open(dst._marker_path(pid), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             os.close(fd)

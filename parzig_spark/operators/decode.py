@@ -308,6 +308,8 @@ def decode_table(
     store_root: str,
     columns: list[str] | None = None,
     predicates: list[tuple] | None = None,
+    snapshot: int | None = None,
+    since_snapshot: int | None = None,
 ) -> DataFrame:
     """Decode committed partitions; returns the reconstructed DataFrame.
 
@@ -320,14 +322,31 @@ def decode_table(
     ``predicates`` (e.g. ``[("o_orderkey", ">=", 1000)]``) prune whole
     partitions via manifest min/max stats before any blob is opened;
     callers still apply the row-level filter on the result.
+
+    ``snapshot`` pins the read to a historical snapshot version — TIME
+    TRAVEL: only partitions committed when that snapshot was written are
+    visible, regardless of what landed later (the Iceberg
+    ``VERSION AS OF`` analog; partitions are immutable once committed, so
+    a snapshot's manifest rows fully describe that version's data).
+
+    ``since_snapshot`` reads the INCREMENTAL delta instead: only partitions
+    committed AFTER the given snapshot version (the Iceberg incremental
+    append-scan analog — the CDC feed a downstream consumer tails without
+    rescanning the store). Combine with ``snapshot`` to bound both ends
+    (partitions in ``snapshot`` but not in ``since_snapshot``).
     """
     store = ManifestStore(store_root)
     store.check_format()
     cols, ddl, casts = decoded_schema(store, columns)
-    snap = store.fresh_snapshot()
+    snap = store.snapshot_path(snapshot) if snapshot is not None else store.fresh_snapshot()
     manifests = spark.read.parquet(snap).select(
         "pid", "column", "meta_json", "stat_min", "stat_max"
     )
+    if since_snapshot is not None:
+        base = store.snapshot_pids(since_snapshot)
+        if base:
+            base_df = spark.createDataFrame([(int(p),) for p in sorted(base)], "pid long")
+            manifests = manifests.join(F.broadcast(base_df), on="pid", how="left_anti")
     # Prune BEFORE the projection filter: a predicate on a non-projected
     # column (SELECT doc_id WHERE lang = 'zh') must still see that column's
     # stats rows to drop partitions.

@@ -177,6 +177,21 @@ class ManifestStore:
         snaps = sorted(f for f in os.listdir(snap_dir) if f.endswith(".parquet"))
         return os.path.join(snap_dir, snaps[-1]) if snaps else None
 
+    def snapshot_path(self, version: int) -> str:
+        """Path of a specific snapshot version — the time-travel handle.
+        Versions are the monotonically increasing suffix write_snapshot
+        assigns (the Iceberg snapshot-id analog). Raises if absent."""
+        path = os.path.join(self.root, "snapshots", f"snap-{version:06d}.parquet")
+        if not os.path.exists(path):
+            raise ValueError(f"{self.root}: no snapshot version {version}")
+        return path
+
+    def snapshot_pids(self, version: int) -> set[int]:
+        """Partition ids visible at a snapshot version (O(1) driver read of
+        that snapshot's pid column)."""
+        t = pq.read_table(self.snapshot_path(version), columns=["pid"])
+        return {int(p) for p in t.column("pid").to_pylist()}
+
     # -- readers ------------------------------------------------------------
     def blob_path(self, pid: int, column: str) -> str:
         return os.path.join(self.blob_dir, str(pid), f"{column}.bin")

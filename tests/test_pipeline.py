@@ -406,6 +406,43 @@ def test_blobs_byte_identical_across_sort_paths(spark, corpus, tmp_path, monkeyp
     assert a == b
 
 
+def test_time_travel_and_incremental_read(spark, corpus, tmp_path):
+    """Snapshot time travel (Iceberg VERSION AS OF analog) and incremental
+    reads (append-scan/CDC analog): a store fed by two batches (distinct
+    pid namespaces, the streaming shape) must expose batch 1 alone at the
+    first snapshot version, exactly the delta via since_snapshot, and the
+    union at head — each bit-identical to its source rows."""
+    root = str(tmp_path / "store")
+    split = F.pmod(F.xxhash64("path"), F.lit(2))
+    df1 = corpus.filter(split == 0)
+    df2 = corpus.filter(split == 1)
+    common = dict(
+        group_cols=["repo", "lang"], salt_cols=["path", "commit"],
+        sort_cols=KEYS, size_col="content", target_bytes=256 << 10,
+        bucket_bits=16,
+    )
+    encode_table(df1, root, pid_namespace=1, resume=False, **common).count()
+    store = ManifestStore(root)
+    store.write_snapshot()  # version 0: batch 1 only
+    encode_table(df2, root, pid_namespace=2, resume=True, **common).count()
+    store.write_snapshot()  # version 1: both batches
+
+    old = decode_table(spark, root, snapshot=0)
+    assert verify_roundtrip(df1, old, KEYS, ["lang", "content"])["ok"]
+    delta = decode_table(spark, root, since_snapshot=0)
+    assert verify_roundtrip(df2, delta, KEYS, ["lang", "content"])["ok"]
+    full = decode_table(spark, root)
+    assert full.count() == corpus.count()
+    # bounded window: partitions in version 1 but not version 0 == the delta
+    window = decode_table(spark, root, snapshot=1, since_snapshot=0)
+    assert verify_roundtrip(df2, window, KEYS, ["lang", "content"])["ok"]
+    # a nonexistent version fails loudly
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="no snapshot version"):
+        decode_table(spark, root, snapshot=7)
+
+
 def test_decode_table_widens_nested_children(spark, tmp_path):
     """Round-3 advice: _TOKEN_CAST widenings must recurse through list/map/
     struct children — an Arrow-side store with list<uint64>/list<ts_ms>/

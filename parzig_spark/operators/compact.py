@@ -100,6 +100,8 @@ def compact_store(
     target_bytes: int = 64 << 20,
     resume: bool = True,
     outer: str | None = "auto",
+    sort_cols: list[str] | None = None,
+    page_values: int | None = None,
 ) -> DataFrame:
     """Rewrite ``src_root``'s under-sized partitions into ``dst_root``.
 
@@ -108,12 +110,23 @@ def compact_store(
     are copied through blob-for-blob (no re-encode — their bytes are
     already the right shape), so ``dst_root`` always holds the complete
     row set of ``src_root`` and can be decoded/verified standalone.
+
+    ``sort_cols`` overrides the canonical in-partition order for REWRITTEN
+    partitions and ``page_values`` stores them in the PAGED layout — the
+    Iceberg ``rewrite_data_files(strategy => 'sort')`` analog at page
+    granularity: ordering cannot change a PARTITION's [min, max] envelope
+    (membership does that — re-cluster across partitions by re-encoding
+    with different group_cols), but inside a partition it concentrates
+    each value range into few pages, so per-page stats/bloom skipping on
+    the sorted column reads far fewer sections. Default keeps the source
+    store's order and unpaged layout.
     """
     src = ManifestStore(src_root)
     src.check_format()
     with open(os.path.join(src_root, "store_config.json")) as f:
         src_config = json.load(f)
-    sort_cols: list[str] = src_config.get("sort_cols") or []
+    if sort_cols is None:
+        sort_cols = src_config.get("sort_cols") or []
     groups = plan_compaction(src, target_bytes)
     grouped_pids = {p for g in groups for p in g}
     passthrough = sorted(src.committed_pids() - grouped_pids)
@@ -128,6 +141,8 @@ def compact_store(
             },
             "target_bytes": target_bytes,
             "columns": src_config.get("columns"),
+            "sort_cols": sort_cols,
+            **({"page_values": page_values} if page_values else {}),
         }
     )
 
@@ -221,7 +236,9 @@ def compact_store(
                         )
                         codec = sorted(metas[name])[0][2]
                         t0 = time.perf_counter()
-                        blob, meta = encode_column(arr, codec, outer=outer)
+                        blob, meta = encode_column(
+                            arr, codec, outer=outer, page_values=page_values
+                        )
                         dt = time.perf_counter() - t0
                         smin, smax = column_minmax(arr)
                         blobs[name] = blob

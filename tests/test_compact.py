@@ -161,6 +161,50 @@ def test_gc_store_reclaims_only_orphans(spark, fragmented, tmp_path):
     assert report["ok"], report
 
 
+def test_compact_sorted_paged_rewrite_tightens_page_pruning(
+    spark, fragmented, tmp_path
+):
+    """rewrite_data_files(strategy='sort') analog at page granularity:
+    compacting with sort_cols=['lang', ...] + the PAGED layout concentrates
+    each lang into few pages, so a lang equality predicate must (a) still
+    decode every matching row and (b) leave most pages provably excludable
+    by their per-page [min, max] envelopes — which an unsorted layout's
+    pages (every page spans the lang domain) cannot offer."""
+    corpus, src_root = fragmented
+    dst = str(tmp_path / "sorted")
+    compact_store(
+        spark, src_root, dst, target_bytes=2 << 20,
+        sort_cols=["lang", "path"], page_values=128,
+    ).count()
+    report = verify_roundtrip(
+        corpus, decode_table(spark, dst), KEYS, ["lang", "content"]
+    )
+    assert report["ok"], report
+    target = min(r["lang"] for r in corpus.select("lang").distinct().collect())
+    pruned = decode_table(spark, dst, predicates=[("lang", "==", target)])
+    expected = corpus.filter(corpus.lang == target).count()
+    assert pruned.filter(pruned.lang == target).count() == expected
+    # page-envelope audit over the rewritten lang blobs: sorted pages are
+    # mostly single-lang, so for any one lang most pages must be excludable
+    m = ManifestStore(dst).read_manifests()
+    total_pages = excludable_pages = 0
+    for row in m.to_pylist():
+        if row["column"] != "lang":
+            continue
+        meta = json.loads(row["meta_json"])
+        if meta.get("codec") != "paged":
+            continue  # partition smaller than one page stays unpaged
+        for p in meta["pages"]:
+            total_pages += 1
+            if p["max"] < target or p["min"] > target:
+                excludable_pages += 1
+    assert total_pages > 2, "fixture must produce multi-page partitions"
+    assert excludable_pages > total_pages // 2, (
+        f"sorted paged rewrite should exclude most pages for one lang "
+        f"({excludable_pages}/{total_pages})"
+    )
+
+
 def test_compact_lineage_records_sources(spark, fragmented, tmp_path):
     _, src_root = fragmented
     dst_root = str(tmp_path / "dst")

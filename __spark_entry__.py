@@ -527,6 +527,31 @@ def q_incremental_read(spark, sf_dir):
     )
 
 
+def q_add_column_backfill(spark, sf_dir):
+    """Schema evolution, oracle-gated: documents are encoded, then a
+    derived column (text_len) backfills into a NEW store root via
+    add_columns — existing blobs hardlink across (bytes moved scale with
+    the new column only), per-partition digests prove row alignment, and
+    the evolved store must decode the original columns bit-identical next
+    to the new one."""
+    from parzig_spark.operators import add_columns
+
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src_root = tempfile.mkdtemp(prefix="parzig_evolve_src_")
+    dst_root = tempfile.mkdtemp(prefix="parzig_evolve_dst_")
+    encode_table(
+        src, src_root, group_cols=["lang", "source"], salt_cols=["doc_id"],
+        size_col="text", sort_cols=["doc_id"], target_bytes=32 << 20,
+        resume=False,
+    ).count()
+    widened = src.withColumn("text_len", F.length("text"))
+    add_columns(widened, src_root, dst_root, ["text_len"]).count()
+    dec = decode_table(spark, dst_root)
+    return dec.select(
+        "doc_id", "lang", "text_len", F.sha2("text", 256).alias("text_sha")
+    )
+
+
 def q_roundtrip_lineitem_q1(spark, sf_dir):
     dec = _roundtrip(spark, sf_dir, "lineitem", ["l_returnflag", "l_linestatus"], ["l_orderkey"], sort_cols=["l_orderkey", "l_linenumber"])
     return (
@@ -1361,6 +1386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_compacted": q_roundtrip_compacted,
         "time_travel": q_time_travel,
         "incremental_read": q_incremental_read,
+        "add_column_backfill": q_add_column_backfill,
         "roundtrip_lineitem_q1": q_roundtrip_lineitem_q1,
         "roundtrip_orders": q_roundtrip_orders,
         "roundtrip_pruned": q_roundtrip_pruned,
@@ -1433,6 +1459,11 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "incremental_read": """
             SELECT doc_id, lang, n_chars, sha256(text) AS text_sha
             FROM documents WHERE NOT (lang < 'm')
+        """,
+        "add_column_backfill": """
+            SELECT doc_id, lang, length(text) AS text_len,
+                   sha256(text) AS text_sha
+            FROM documents
         """,
         "roundtrip_lineitem_q1": """
             SELECT l_returnflag, l_linestatus,

@@ -42,6 +42,57 @@ from ..selector import choose_codec
 from .encode import SUMMARY_SCHEMA, column_digest, column_minmax, plan_partitions
 
 
+def drop_columns(src_root: str, dst_root: str, cols: list[str]) -> dict:
+    """Produce ``dst_root`` = ``src_root`` minus ``cols`` — the DROP COLUMN
+    analog. Purely metadata + hardlinks (no Spark job, no data pass): kept
+    blobs hardlink across, manifests rewrite without the dropped rows, and
+    the store config's column list shrinks. Returns
+    {"partitions", "dropped_blobs"}. Dropping every column, or an unknown
+    column, fails loudly."""
+    src = ManifestStore(src_root)
+    src.check_format()
+    with open(os.path.join(src_root, "store_config.json")) as f:
+        src_config = json.load(f)
+    orig_cols: list[str] = src_config["columns"]
+    unknown = [c for c in cols if c not in orig_cols]
+    if unknown:
+        raise ValueError(f"drop_columns: not in store: {unknown}")
+    kept = [c for c in orig_cols if c not in cols]
+    if not kept:
+        raise ValueError("drop_columns: cannot drop every column")
+    dst = ManifestStore(dst_root)
+    dst.ensure_config({**src_config, "columns": kept})
+    n_parts = n_dropped = 0
+    for pid in sorted(src.committed_pids()):
+        if dst.is_committed(pid):
+            continue
+        src_dir = os.path.join(src.blob_dir, str(pid))
+        dst_dir = os.path.join(dst.blob_dir, str(pid))
+        os.makedirs(dst_dir, exist_ok=True)
+        for name in kept:
+            s_p = os.path.join(src_dir, f"{name}.bin")
+            d_p = os.path.join(dst_dir, f"{name}.bin")
+            if os.path.exists(s_p) and not os.path.exists(d_p):
+                try:
+                    os.link(s_p, d_p)
+                except OSError:
+                    shutil.copy2(s_p, d_p)
+        n_dropped += len(cols)
+        t = pq.read_table(os.path.join(src.manifest_dir, f"part-{pid}.parquet"))
+        keep_mask = pa.compute.is_in(t.column("column"), value_set=pa.array(kept))
+        t = t.filter(keep_mask)
+        fixed = pa.array([dst.blob_path(pid, c) for c in t.column("column").to_pylist()])
+        t = t.set_column(t.column_names.index("blob_file"), "blob_file", fixed)
+        pq.write_table(t, os.path.join(dst.manifest_dir, f"part-{pid}.parquet"))
+        try:
+            fd = os.open(dst._marker_path(pid), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+        except FileExistsError:
+            pass
+        n_parts += 1
+    return {"partitions": n_parts, "dropped_blobs": n_dropped}
+
+
 def add_columns(
     df: DataFrame,
     src_root: str,

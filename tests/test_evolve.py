@@ -105,6 +105,35 @@ def test_add_columns_validates_inputs(spark, base_store, tmp_path):
         add_columns(_widened(corpus), src_root, dst_root, ["lang"])
 
 
+def test_drop_columns(spark, base_store, tmp_path):
+    corpus, src_root = base_store
+    dst_root = str(tmp_path / "dropped")
+    from parzig_spark.operators import drop_columns
+
+    stats = drop_columns(src_root, dst_root, ["lang"])
+    assert stats["partitions"] > 0
+    dec = decode_table(spark, dst_root)
+    assert set(dec.columns) == set(corpus.columns) - {"lang"}
+    # kept blobs are hardlinks; surviving data bit-exact
+    src, dst = ManifestStore(src_root), ManifestStore(dst_root)
+    pid = sorted(src.committed_pids())[0]
+    s = os.stat(os.path.join(src.blob_dir, str(pid), "content.bin"))
+    d = os.stat(os.path.join(dst.blob_dir, str(pid), "content.bin"))
+    assert (s.st_dev, s.st_ino) == (d.st_dev, d.st_ino)
+    assert not os.path.exists(os.path.join(dst.blob_dir, str(pid), "lang.bin"))
+    from parzig_spark.operators import verify_roundtrip
+
+    assert verify_roundtrip(corpus.drop("lang"), dec, KEYS, ["content"])["ok"]
+    # guards
+    with pytest.raises(ValueError, match="not in store"):
+        drop_columns(src_root, str(tmp_path / "x"), ["nope"])
+    with pytest.raises(ValueError, match="cannot drop every column"):
+        drop_columns(
+            src_root, str(tmp_path / "y"),
+            ["repo", "path", "commit", "lang", "content"],
+        )
+
+
 def test_add_columns_resume_noop(spark, base_store, tmp_path):
     corpus, src_root = base_store
     dst_root = str(tmp_path / "dst")

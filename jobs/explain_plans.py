@@ -158,6 +158,30 @@ def main() -> None:
         "which prune pages whose [min, max] spans the whole domain.",
     )
 
+    from parzig_spark.operators import compact_store
+
+    dstc = tempfile.mkdtemp(prefix="explain_compact_")
+    grab(
+        "Store compaction rewrite (shuffle-free)",
+        compact_store(spark, store_root, dstc, target_bytes=32 << 20),
+        "The rewrite_data_files analog: the ONLY thing distributed is a tiny "
+        "merge-group spec DataFrame (one row per group — json pid lists), "
+        "repartitioned so each task rewrites one group. Data bytes never cross "
+        "tasks: each task reads its own source blobs, re-encodes, commits one "
+        "destination partition. No exchange of table data anywhere in the plan.",
+    )
+
+    ManifestStore(store_root).write_snapshot()
+    grab(
+        "Incremental (CDC) read since a snapshot",
+        decode_table(spark, store_root, since_snapshot=0),
+        "decode_table(since_snapshot=N): a broadcast anti-join of manifest rows "
+        "against the base snapshot's pid set drops already-consumed partitions "
+        "before any blob is opened — the append-scan a downstream consumer tails; "
+        "time travel (snapshot=N) is the same plan reading a pinned snapshot "
+        "parquet instead of the head.",
+    )
+
     out = "# EXPLAIN — physical plans of the key dataflows\n\n" + "\n".join(sections)
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "EXPLAIN.md")
     with open(path, "w") as f:

@@ -552,6 +552,30 @@ def q_add_column_backfill(spark, sf_dir):
     )
 
 
+def q_delete_rows(spark, sf_dir):
+    """Row-level deletes (merge-on-read), oracle-gated: documents are
+    encoded, rows matching a predicate are deleted via per-partition RLE
+    bitmaps (no blob rewritten — the Iceberg v2 positional-delete analog),
+    and the decoded store must match DuckDB computing the complement. The
+    op commits atomically at store level (content-derived op id + marker);
+    a replay is a no-op."""
+    from parzig_spark.operators import delete_rows
+
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    root = tempfile.mkdtemp(prefix="parzig_del_")
+    encode_table(
+        src, root, group_cols=["lang", "source"], salt_cols=["doc_id"],
+        size_col="text", sort_cols=["doc_id"], target_bytes=32 << 20,
+        resume=False,
+    ).count()
+    delete_rows(spark, root, [("lang", "==", "zh")])
+    delete_rows(spark, root, [("doc_id", "<", 25)])
+    dec = decode_table(spark, root)
+    return dec.select(
+        "doc_id", "lang", "n_chars", F.sha2("text", 256).alias("text_sha")
+    )
+
+
 def q_roundtrip_lineitem_q1(spark, sf_dir):
     dec = _roundtrip(spark, sf_dir, "lineitem", ["l_returnflag", "l_linestatus"], ["l_orderkey"], sort_cols=["l_orderkey", "l_linenumber"])
     return (
@@ -1387,6 +1411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_travel": q_time_travel,
         "incremental_read": q_incremental_read,
         "add_column_backfill": q_add_column_backfill,
+        "delete_rows_mor": q_delete_rows,
         "roundtrip_lineitem_q1": q_roundtrip_lineitem_q1,
         "roundtrip_orders": q_roundtrip_orders,
         "roundtrip_pruned": q_roundtrip_pruned,
@@ -1464,6 +1489,11 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
             SELECT doc_id, lang, length(text) AS text_len,
                    sha256(text) AS text_sha
             FROM documents
+        """,
+        "delete_rows_mor": """
+            SELECT doc_id, lang, n_chars, sha256(text) AS text_sha
+            FROM documents
+            WHERE NOT (lang = 'zh') AND NOT (doc_id < 25)
         """,
         "roundtrip_lineitem_q1": """
             SELECT l_returnflag, l_linestatus,

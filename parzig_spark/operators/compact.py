@@ -129,6 +129,19 @@ def compact_store(
         sort_cols = src_config.get("sort_cols") or []
     groups = plan_compaction(src, target_bytes)
     grouped_pids = {p for g in groups for p in g}
+    # merge-on-read → copy-on-write handoff: any partition carrying a
+    # committed delete bitmap must REWRITE (the rewrite filters deleted
+    # rows out), never pass through blob-for-blob — the destination store
+    # materializes post-delete rows and carries no delete files at all
+    delete_ops = src.committed_delete_ops()
+    purge_pids = {
+        pid
+        for pid in src.committed_pids()
+        if src.delete_bitmap_paths(pid, delete_ops)
+    }
+    for pid in sorted(purge_pids - grouped_pids):
+        groups.append([pid])
+        grouped_pids.add(pid)
     passthrough = sorted(src.committed_pids() - grouped_pids)
 
     dst = ManifestStore(dst_root)
@@ -217,12 +230,26 @@ def compact_store(
                                 (pid, json.loads(row["meta_json"]), row["codec"])
                             )
                     columns = src_config.get("columns") or sorted(metas)
+                    # per-pid delete masks (purge): deleted rows never reach
+                    # the destination store
+                    keeps: dict[int, pa.Array] = {}
+                    if delete_ops:
+                        from .delete import load_delete_mask
+
+                        for pid, m, _ in sorted(metas[columns[0]]):
+                            deleted = load_delete_mask(
+                                src_local, pid, m["n"], delete_ops
+                            )
+                            if deleted is not None and deleted.any():
+                                keeps[pid] = pa.array(~deleted)
                     decoded: dict[str, pa.Array] = {}
                     for name in columns:
-                        parts = [
-                            decode_column(src_local.read_blob(pid, name), m)
-                            for pid, m, _ in sorted(metas[name])
-                        ]
+                        parts = []
+                        for pid, m, _ in sorted(metas[name]):
+                            a = decode_column(src_local.read_blob(pid, name), m)
+                            if pid in keeps:
+                                a = a.filter(keeps[pid])
+                            parts.append(a)
                         decoded[name] = pa.chunked_array(parts).combine_chunks()
                     table = pa.table(decoded)
                     usable_sort = [c for c in sort_cols if c in decoded]
@@ -383,6 +410,30 @@ def gc_store(root: str, min_age_s: float = 0.0) -> dict:
                     stats["bytes_reclaimed"] += os.path.getsize(fp)
                     os.unlink(fp)
                     stats["orphan_manifests"] += 1
+
+    # uncommitted delete-op dirs (crashed delete job) + tmp litter inside
+    # committed ones — the marker is the visibility boundary, so an
+    # unmarked op dir was never observable by any reader
+    del_dir = store.deletes_dir()
+    if os.path.isdir(del_dir):
+        committed_ops = set(store.committed_delete_ops())
+        for entry in os.listdir(del_dir):
+            p = os.path.join(del_dir, entry)
+            if entry.startswith("_committed_"):
+                continue
+            if os.path.isdir(p) and entry not in committed_ops:
+                if old_enough(p):
+                    stats["bytes_reclaimed"] += tree_bytes(p)
+                    shutil.rmtree(p, ignore_errors=True)
+                    stats["orphan_dirs"] += 1
+            elif os.path.isdir(p):
+                for f in os.listdir(p):
+                    if ".tmp-" in f:
+                        fp = os.path.join(p, f)
+                        if old_enough(fp):
+                            stats["bytes_reclaimed"] += os.path.getsize(fp)
+                            os.unlink(fp)
+                            stats["tmp_files"] += 1
 
     # superseded snapshots (readers only ever open the latest)
     snap_dir = os.path.join(root, "snapshots")

@@ -338,6 +338,15 @@ def decode_table(
     store = ManifestStore(store_root)
     store.check_format()
     cols, ddl, casts = decoded_schema(store, columns)
+    # Row-level deletes (merge-on-read): a head read applies every committed
+    # delete op; a pinned (time-travel) read applies exactly the ops the
+    # snapshot's sidecar recorded — a snapshot taken before a delete still
+    # reproduces the pre-delete view. The op list is resolved ONCE here, so
+    # one query sees one consistent delete set even if ops commit mid-run.
+    if snapshot is not None:
+        delete_ops = store.snapshot_delete_ops(snapshot)
+    else:
+        delete_ops = store.committed_delete_ops()
     snap = store.snapshot_path(snapshot) if snapshot is not None else store.fresh_snapshot()
     manifests = spark.read.parquet(snap).select(
         "pid", "column", "meta_json", "stat_min", "stat_max"
@@ -376,7 +385,10 @@ def decode_table(
         same row ranges so every column stays row-aligned (the shared value
         stride guarantees identical page boundaries across columns).
         """
+        import numpy as np
+
         from ..codecs import page_byte_ranges, page_row_ranges
+        from .delete import load_delete_mask
 
         local = ManifestStore(store_root)
         rows: dict[int, dict[str, dict]] = {}
@@ -407,6 +419,26 @@ def decode_table(
                     survivors = sorted(keep)
                     if not survivors:
                         continue  # no section of this partition can match
+            # merge-on-read deletes: OR this pid's bitmaps across the
+            # query's delete-op set; rows decoded below filter through the
+            # complement. With page skipping, the mask slices to the same
+            # surviving row ranges the columns do, so alignment holds.
+            keep_rows = None
+            if delete_ops:
+                n_phys = next(iter(metas.values()))["n"]
+                deleted = load_delete_mask(local, pid, n_phys, delete_ops)
+                if deleted is not None:
+                    if survivors is not None:
+                        deleted = np.concatenate(
+                            [
+                                deleted[off : off + ln]
+                                for off, ln in page_row_ranges(ref_paged, survivors)
+                            ]
+                        )
+                    if deleted.all():
+                        continue  # every row of this partition is deleted
+                    if deleted.any():
+                        keep_rows = pa.array(~deleted)
             arrays = []
             for name in cols:
                 meta = metas[name]
@@ -431,6 +463,8 @@ def decode_table(
                 cast_to = casts.get(name)
                 if cast_to is not None:
                     arr = arr.cast(cast_to, safe=False)
+                if keep_rows is not None:
+                    arr = arr.filter(keep_rows)
                 arrays.append(arr)
             table = pa.table(dict(zip(cols, arrays)))
             yield from table.to_batches(max_chunksize=8192)

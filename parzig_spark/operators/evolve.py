@@ -42,6 +42,29 @@ from ..selector import choose_codec
 from .encode import SUMMARY_SCHEMA, column_digest, column_minmax, plan_partitions
 
 
+def _carry_deletes(src: ManifestStore, dst: ManifestStore) -> None:
+    """Hardlink committed delete-op bitmaps (and markers) across — pids are
+    identical in an evolved store, so row-level deletes stay in force."""
+    for op in src.committed_delete_ops():
+        op_src, op_dst = src.deletes_dir(op), dst.deletes_dir(op)
+        os.makedirs(op_dst, exist_ok=True)
+        for f in os.listdir(op_src):
+            if ".tmp-" in f:
+                continue
+            s_p, d_p = os.path.join(op_src, f), os.path.join(op_dst, f)
+            if not os.path.exists(d_p):
+                try:
+                    os.link(s_p, d_p)
+                except OSError:
+                    shutil.copy2(s_p, d_p)
+        marker = os.path.join(dst.deletes_dir(), f"_committed_{op}")
+        try:
+            fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+        except FileExistsError:
+            pass
+
+
 def drop_columns(src_root: str, dst_root: str, cols: list[str]) -> dict:
     """Produce ``dst_root`` = ``src_root`` minus ``cols`` — the DROP COLUMN
     analog. Purely metadata + hardlinks (no Spark job, no data pass): kept
@@ -62,6 +85,7 @@ def drop_columns(src_root: str, dst_root: str, cols: list[str]) -> dict:
         raise ValueError("drop_columns: cannot drop every column")
     dst = ManifestStore(dst_root)
     dst.ensure_config({**src_config, "columns": kept})
+    _carry_deletes(src, dst)
     n_parts = n_dropped = 0
     for pid in sorted(src.committed_pids()):
         if dst.is_committed(pid):
@@ -128,6 +152,10 @@ def add_columns(
 
     dst = ManifestStore(dst_root)
     dst.ensure_config({**src_config, "columns": orig_cols + new_cols})
+    # deletes carry over (pids identical); note the alignment digest below
+    # checks PHYSICAL rows — the caller passes the original full data, not
+    # a post-delete decode (a decoded-then-widened frame fails loudly)
+    _carry_deletes(src, dst)
 
     with_pid, _ = plan_partitions(
         df,

@@ -165,10 +165,32 @@ class ManifestStore:
         os.makedirs(snap_dir, exist_ok=True)
         version = len([f for f in os.listdir(snap_dir) if f.endswith(".parquet")])
         final = os.path.join(snap_dir, f"snap-{version:06d}.parquet")
-        tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
+        tag = uuid.uuid4().hex[:8]
+        # sidecar first, manifest parquet second: the snapshot "exists" only
+        # once its parquet lands, so it never appears without its op list
+        ops = self.committed_delete_ops()
+        side = os.path.join(snap_dir, f"snap-{version:06d}.deletes.json")
+        tmp = side + f".tmp-{tag}"
+        with open(tmp, "w") as f:
+            json.dump(ops, f)
+        os.replace(tmp, side)
+        tmp = final + f".tmp-{tag}"
         pq.write_table(table, tmp)
         os.replace(tmp, final)
         return final
+
+    def snapshot_delete_ops(self, version: int) -> list[str]:
+        """Delete ops committed when this snapshot was written — a pinned
+        (time-travel) read applies exactly these. Pre-sidecar snapshots
+        (older stores) fall back to the empty list: their rows were written
+        before row-level deletes existed."""
+        side = os.path.join(
+            self.root, "snapshots", f"snap-{version:06d}.deletes.json"
+        )
+        if not os.path.exists(side):
+            return []
+        with open(side) as f:
+            return json.load(f)
 
     def latest_snapshot(self) -> str | None:
         snap_dir = os.path.join(self.root, "snapshots")
@@ -191,6 +213,63 @@ class ManifestStore:
         that snapshot's pid column)."""
         t = pq.read_table(self.snapshot_path(version), columns=["pid"])
         return {int(p) for p in t.column("pid").to_pylist()}
+
+    # -- row-level deletes (merge-on-read) -----------------------------------
+    # Layout: deletes/{op_id}/{pid}.bin (RLE width-1 bitmap over the
+    # partition's physical rows, 1 = deleted) + deletes/_committed_{op_id}.
+    # An op is visible iff its marker exists — the same write-ahead shape as
+    # partition commits, lifted to store level so a multi-partition delete
+    # is atomic: a crash mid-op leaves invisible garbage, never a
+    # half-applied delete. Snapshots record the committed op set at write
+    # time, so time travel replays exactly the deletes that existed then.
+    def deletes_dir(self, op_id: str | None = None) -> str:
+        d = os.path.join(self.root, "deletes")
+        return os.path.join(d, op_id) if op_id else d
+
+    def committed_delete_ops(self) -> list[str]:
+        d = self.deletes_dir()
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            f[len("_committed_"):]
+            for f in os.listdir(d)
+            if f.startswith("_committed_")
+        )
+
+    def commit_delete_op(self, op_id: str, bitmaps: dict[int, bytes]) -> bool:
+        """Write one delete op's per-partition bitmaps, then its marker
+        (the atomic commit point). Returns False when the op was already
+        committed (idempotent replay — op ids are content-derived)."""
+        marker = os.path.join(self.deletes_dir(), f"_committed_{op_id}")
+        if os.path.exists(marker):
+            return False
+        op_dir = self.deletes_dir(op_id)
+        os.makedirs(op_dir, exist_ok=True)
+        tag = uuid.uuid4().hex[:8]
+        for pid, blob in bitmaps.items():
+            final = os.path.join(op_dir, f"{pid}.bin")
+            tmp = final + f".tmp-{tag}"
+            with open(tmp, "wb") as f:
+                f.write(blob)
+            os.replace(tmp, final)
+        try:
+            fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+            return True
+        except FileExistsError:
+            return False
+
+    def delete_bitmap_paths(self, pid: int, op_ids: list[str] | None = None) -> list[str]:
+        """Bitmap files affecting ``pid`` across the given (default: all
+        committed) delete ops — decode ORs them together."""
+        if op_ids is None:
+            op_ids = self.committed_delete_ops()
+        out = []
+        for op in op_ids:
+            p = os.path.join(self.deletes_dir(op), f"{pid}.bin")
+            if os.path.exists(p):
+                out.append(p)
+        return out
 
     # -- readers ------------------------------------------------------------
     def blob_path(self, pid: int, column: str) -> str:

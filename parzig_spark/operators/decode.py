@@ -216,6 +216,11 @@ def _exclusion_condition(op: str, val) -> "F.Column":
         return lo >= v
     if op in ("==", "="):
         return (hi < v) | (lo > v)
+    if op == "!=":
+        # excludable iff EVERY value equals v: stat_min ≤ true_min and
+        # stat_max ≥ true_max, so stat_min == stat_max == v pins the true
+        # range to exactly [v, v] — sound even on truncated string bounds
+        return (lo == v) & (hi == v)
     if op in ("startswith", "like_prefix"):
         # LIKE 'p%': matching strings live in [p, next(p)) where next(p)
         # increments p's last code point — so a partition is excludable iff
@@ -263,6 +268,8 @@ def _page_may_match(
         return not lo >= v
     if op in ("==", "="):
         return not (hi < v or lo > v)
+    if op == "!=":
+        return not (lo == v and hi == v)
     if op in ("startswith", "like_prefix"):
         upper = _prefix_upper(str(val))
         return not (hi < v or (upper is not None and lo >= upper))

@@ -80,6 +80,19 @@ def test_delete_conjunctive_and_accumulating_ops(spark, store):
     assert verify_roundtrip(expected, dec, KEYS, ["lang", "content"])["ok"]
 
 
+def test_delete_not_equal_predicate(spark, store):
+    """!= deletes everything except one lang; the stats-pruning path must
+    accept the op (a partition is excludable only when its envelope pins
+    every value to exactly v)."""
+    corpus, root = store
+    keep_lang = corpus.select("lang").first()["lang"]
+    stats = delete_rows(spark, root, [("lang", "!=", keep_lang)])
+    assert stats["committed"]
+    dec = decode_table(spark, root)
+    expected = corpus.filter(corpus.lang == keep_lang)
+    assert verify_roundtrip(expected, dec, KEYS, ["lang", "content"])["ok"]
+
+
 def test_delete_time_travel_pre_delete_view(spark, store):
     """A snapshot written BEFORE the delete must still see the rows — the
     sidecar records the committed op set at snapshot time."""

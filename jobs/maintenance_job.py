@@ -1,0 +1,84 @@
+"""spark-submit CLI for store maintenance — the deployment surface of the
+compaction / GC / delete / evolution operators (same shape as
+jobs/encode_job.py; ship the package with --py-files parzig_spark.zip).
+
+Usage:
+  spark-submit maintenance_job.py compact  <src_root> <dst_root> [target_mb]
+  spark-submit maintenance_job.py gc       <root> [min_age_s]
+  spark-submit maintenance_job.py delete   <root> <column> <op> <value>
+  spark-submit maintenance_job.py snapshot <root>
+
+`delete` values parse as int → float → string; ops: == != < <= > >=
+startswith.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _parse_value(s: str):
+    for cast in (int, float):
+        try:
+            return cast(s)
+        except ValueError:
+            continue
+    return s
+
+
+def main(argv: list[str]) -> int:
+    cmd = argv[0]
+    if cmd == "gc":
+        from parzig_spark.operators import gc_store
+
+        stats = gc_store(argv[1], min_age_s=float(argv[2]) if len(argv) > 2 else 0.0)
+        print(json.dumps({"cmd": "gc", **stats}))
+        return 0
+    if cmd == "snapshot":
+        from parzig_spark.plans.manifest import ManifestStore
+
+        path = ManifestStore(argv[1]).write_snapshot()
+        print(json.dumps({"cmd": "snapshot", "path": path}))
+        return 0
+
+    from parzig_spark.session import get_spark
+
+    spark = get_spark(app_name=f"parzig_{cmd}")
+    try:
+        if cmd == "compact":
+            from parzig_spark.operators import compact_store
+
+            target = (int(argv[3]) if len(argv) > 3 else 64) << 20
+            summary = compact_store(spark, argv[1], argv[2], target_bytes=target)
+            rows = summary.groupBy().agg(
+                {"enc_bytes": "sum", "n_values": "sum"}
+            ).first()
+            print(
+                json.dumps(
+                    {
+                        "cmd": "compact",
+                        "enc_bytes": int(rows["sum(enc_bytes)"] or 0),
+                        "n_values": int(rows["sum(n_values)"] or 0),
+                    }
+                )
+            )
+            return 0
+        if cmd == "delete":
+            from parzig_spark.operators import delete_rows
+
+            root, column, op, value = argv[1], argv[2], argv[3], _parse_value(argv[4])
+            stats = delete_rows(spark, root, [(column, op, value)])
+            print(json.dumps({"cmd": "delete", **stats}))
+            return 0
+        print(f"unknown command {cmd!r}", file=sys.stderr)
+        return 2
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))

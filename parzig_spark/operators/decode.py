@@ -300,12 +300,18 @@ def register_store(
     store_root: str,
     name: str,
     columns: list[str] | None = None,
+    snapshot: int | None = None,
+    since_snapshot: int | None = None,
 ) -> DataFrame:
     """Expose a manifest store to Spark SQL as a temp view — the switch-over
     surface for users of the reference's library API: after
     ``register_store(spark, root, "t")``, plain ``spark.sql("SELECT ... FROM
-    t")`` runs over lazily decoded data with column pruning intact."""
-    df = decode_table(spark, store_root, columns)
+    t")`` runs over lazily decoded data with column pruning intact.
+    ``snapshot``/``since_snapshot`` register a time-travel or incremental
+    view under the same SQL surface."""
+    df = decode_table(
+        spark, store_root, columns, snapshot=snapshot, since_snapshot=since_snapshot
+    )
     df.createOrReplaceTempView(name)
     return df
 

@@ -47,6 +47,33 @@ def test_encode_then_decode_cli(tmp_path):
     assert dec["rows"] == 2000 and dec["out"] == out
 
 
+def test_maintenance_cli(tmp_path):
+    """The maintenance surface as a real subprocess: fragment-encode →
+    delete via CLI → compact via CLI (purges the delete) → gc → snapshot,
+    each reporting its JSON contract line."""
+    store = str(tmp_path / "store")
+    _run(
+        [
+            "jobs/encode_job.py",
+            "--synthetic-rows", "1500",
+            "--store", store,
+            "--target-mb", "1",
+        ]
+    )
+    dele = _run(["jobs/maintenance_job.py", "delete", store, "repo", "==", "org0/megarepo"])
+    assert dele["committed"] and dele["rows_deleted"] > 0
+    dst = str(tmp_path / "compacted")
+    comp = _run(["jobs/maintenance_job.py", "compact", store, dst, "32"])
+    assert comp["n_values"] > 0
+    from parzig_spark.plans.manifest import ManifestStore
+
+    assert ManifestStore(dst).committed_delete_ops() == []
+    gc = _run(["jobs/maintenance_job.py", "gc", dst])
+    assert gc["cmd"] == "gc"
+    snap = _run(["jobs/maintenance_job.py", "snapshot", dst])
+    assert os.path.exists(snap["path"])
+
+
 def test_spark_submit_pyfiles_deploy(tmp_path):
     """The north rule's deployment shape, end to end: package the library
     with jobs/package_pyfiles.sh and run the encode job via real

@@ -158,6 +158,22 @@ def main() -> None:
         "which prune pages whose [min, max] spans the whole domain.",
     )
 
+    grab(
+        "Partition-level BLOOM pruning — point lookup off the sort order",
+        decode_table(spark, store2, predicates=[("doc_id", "==", 371)]),
+        "A point predicate on a column UNCORRELATED with the partitioning "
+        "(doc_id across source-grouped partitions): every partition's "
+        "[stat_min, stat_max] envelope spans the domain, so min/max prunes "
+        "nothing — the manifest's partition-level equality bloom "
+        "(stat_bloom, format v5; the BloomFilterHeader analog) proves the "
+        "value absent from most partitions, and the anti-join drops them "
+        "BEFORE any decode task is scheduled. The probe is an Arrow-batched "
+        "UDF over manifest rows — metadata scale, one short row per "
+        "(partition, column), never data scale. Inside surviving "
+        "partitions, per-page blooms (PAGED stores) skip sections the same "
+        "way.",
+    )
+
     from parzig_spark.operators import compact_store
 
     dstc = tempfile.mkdtemp(prefix="explain_compact_")

@@ -110,6 +110,25 @@ def bloom_build(arr: pa.Array, domain: str) -> str | None:
     return base64.b64encode(np.packbits(bits).tobytes()).decode()
 
 
+def column_bloom(arr: pa.Array) -> tuple[str | None, str | None]:
+    """(base64 bloom, domain) over ALL non-null values of a column — the
+    PARTITION-level equality filter stored in the manifest's
+    ``stat_bloom``/``stat_bloom_dom`` columns (the page entries carry their
+    own). Min/max cannot prune an equality predicate on a column
+    uncorrelated with the sort order (e.g. a point lookup on a random-hex
+    ``commit`` — every partition's envelope spans the domain); this bloom
+    lets ``prune_manifests`` drop whole partitions before any task is
+    scheduled. (None, None) for unbloomable types or empty/all-null
+    columns. Capacity caps at 128 Kbit (16 KiB bitmap): partitions holding
+    more than ~16 k distinct values overload toward higher false-positive
+    rates — over-reading only, never row loss."""
+    dom = bloom_domain(arr.type)
+    if dom is None:
+        return None, None
+    bl = bloom_build(arr, dom)
+    return (bl, dom) if bl is not None else (None, None)
+
+
 def bloom_may_contain(bloom_b64: str, domain: str, val) -> bool:
     """False only when the bloom PROVES `val` absent from the page; any
     type/domain mismatch conservatively returns True (never unsound)."""

@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..codecs import decode_column, encode_column
 from ..plans.manifest import FORMAT_VERSION, ManifestStore
-from .encode import SUMMARY_SCHEMA, column_digest, column_minmax
+from .encode import SUMMARY_SCHEMA, column_bloom, column_digest, column_minmax
 
 
 def _dst_pid(src_pids: list[int]) -> int:
@@ -268,11 +268,14 @@ def compact_store(
                         )
                         dt = time.perf_counter() - t0
                         smin, smax = column_minmax(arr)
+                        sbloom, sbloom_dom = column_bloom(arr)
                         blobs[name] = blob
                         rows.append(
                             {
                                 "stat_min": smin,
                                 "stat_max": smax,
+                                "stat_bloom": sbloom,
+                                "stat_bloom_dom": sbloom_dom,
                                 "pid": new_pid,
                                 "column": name,
                                 "codec": codec,

@@ -12,6 +12,7 @@ blobs are opened.
 from __future__ import annotations
 
 import json
+import pandas as pd
 import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -203,8 +204,11 @@ def _exclusion_condition(op: str, val) -> "F.Column":
     on them: a range/prefix that overlaps the true values always overlaps
     the recorded [stat_min, stat_max] envelope too."""
     numeric = isinstance(val, (int, float)) and not isinstance(val, bool)
-    lo = F.col("stat_min").cast("double") if numeric else F.col("stat_min")
-    hi = F.col("stat_max").cast("double") if numeric else F.col("stat_max")
+    # try_cast: a numeric predicate against a non-numeric column's stats
+    # (e.g. lang = 42) nulls out and keeps the partition — the same
+    # conservatism as the executor-side twin — instead of an ANSI cast error
+    lo = F.col("stat_min").try_cast("double") if numeric else F.col("stat_min")
+    hi = F.col("stat_max").try_cast("double") if numeric else F.col("stat_max")
     v = F.lit(val)
     if op == ">=":
         return hi < v
@@ -276,20 +280,57 @@ def _page_may_match(
     return True
 
 
+def _bloom_absent_udf(val):
+    """Arrow-batched twin of stats.bloom_may_contain for manifest rows:
+    True only where the partition bloom PROVES `val` absent. Python-side by
+    necessity (bit probes into a base64 bitmap have no Catalyst
+    expression), but it runs over MANIFEST rows — metadata scale, one
+    short row per (partition, column), never data scale — and each probe
+    is a b64decode plus four bit tests."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def absent(bloom: pd.Series, dom: pd.Series) -> pd.Series:
+        from ..codecs.stats import bloom_may_contain
+
+        return pd.Series(
+            [
+                b is not None and d is not None and not bloom_may_contain(b, d, val)
+                for b, d in zip(bloom, dom)
+            ],
+            dtype=bool,
+        )
+
+    return absent
+
+
 def prune_manifests(manifests: DataFrame, predicates) -> DataFrame:
     """Drop whole partitions whose recorded [stat_min, stat_max] ranges
     cannot satisfy the predicates — the decode-side analog of Parquet
     row-group statistics skipping (the reference parses Statistics/
     ColumnIndex but never uses them; SURVEY §4 scopes this as ours).
 
+    Equality predicates additionally consult the partition-level bloom
+    (``stat_bloom``/``stat_bloom_dom``, when the caller's projection carries
+    them) — the BloomFilterHeader analog: a point lookup on a column
+    uncorrelated with the sort order (random-hex ``commit``) prunes to the
+    partitions that can actually contain the value, where every min/max
+    envelope spans the domain and prunes nothing.
+
     Partition-granular: surviving partitions are decoded WHOLE, so callers
     still apply the row-level filter afterwards. Missing stats keep the
     partition (never unsound)."""
+    has_bloom = "stat_bloom" in manifests.columns
     for col_name, op, val in predicates:
+        cond = F.col("stat_min").isNotNull() & _exclusion_condition(op, val)
+        if has_bloom and op in ("==", "="):
+            absent = _bloom_absent_udf(val)
+            cond = cond | (
+                F.col("stat_bloom").isNotNull()
+                & absent(F.col("stat_bloom"), F.col("stat_bloom_dom"))
+            )
         excluded = manifests.filter(
-            (F.col("column") == col_name)
-            & F.col("stat_min").isNotNull()
-            & _exclusion_condition(op, val)
+            (F.col("column") == col_name) & cond
         ).select("pid")
         manifests = manifests.join(excluded, "pid", "left_anti")
     return manifests
@@ -362,7 +403,8 @@ def decode_table(
         delete_ops = store.committed_delete_ops()
     snap = store.snapshot_path(snapshot) if snapshot is not None else store.fresh_snapshot()
     manifests = spark.read.parquet(snap).select(
-        "pid", "column", "meta_json", "stat_min", "stat_max"
+        "pid", "column", "meta_json", "stat_min", "stat_max",
+        "stat_bloom", "stat_bloom_dom",
     )
     if since_snapshot is not None:
         base = store.snapshot_pids(since_snapshot)
@@ -381,7 +423,9 @@ def decode_table(
         manifests = manifests.filter(
             F.col("column").isin(sorted(set(columns) | set(pred_cols)))
         )
-    manifests = manifests.drop("stat_min", "stat_max").repartition(
+    manifests = manifests.drop(
+        "stat_min", "stat_max", "stat_bloom", "stat_bloom_dom"
+    ).repartition(
         spark.sparkContext.defaultParallelism * 2, "pid"
     )
 

@@ -39,7 +39,13 @@ from pyspark.sql import functions as F
 from ..codecs import encode_column
 from ..plans.manifest import ManifestStore
 from ..selector import choose_codec
-from .encode import SUMMARY_SCHEMA, column_digest, column_minmax, plan_partitions
+from .encode import (
+    SUMMARY_SCHEMA,
+    column_bloom,
+    column_digest,
+    column_minmax,
+    plan_partitions,
+)
 
 
 def _carry_deletes(src: ManifestStore, dst: ManifestStore) -> None:
@@ -253,11 +259,14 @@ def add_columns(
                 )
                 dt = time.perf_counter() - t0
                 smin, smax = column_minmax(arr)
+                sbloom, sbloom_dom = column_bloom(arr)
                 blobs[name] = blob
                 new_rows.append(
                     {
                         "stat_min": smin,
                         "stat_max": smax,
+                        "stat_bloom": sbloom,
+                        "stat_bloom_dom": sbloom_dom,
                         "pid": pid,
                         "column": name,
                         "codec": codec,

@@ -50,6 +50,13 @@ MANIFEST_SCHEMA = pa.schema(
         # (/root/reference/src/generated/parquet.zig:55-76).
         ("stat_min", pa.string()),
         ("stat_max", pa.string()),
+        # Partition-level equality bloom (base64 bitmap + key domain) — the
+        # BloomFilterHeader analog at partition granularity
+        # (/root/reference/src/generated/parquet.zig:312-325): prunes whole
+        # partitions on point predicates where min/max can't (columns
+        # uncorrelated with the sort order). Null for unbloomable types.
+        ("stat_bloom", pa.string()),
+        ("stat_bloom_dom", pa.string()),
     ]
 )
 
@@ -59,11 +66,12 @@ MANIFEST_SCHEMA = pa.schema(
 # leveled zstd outer; v3: streaming pid layout 47-bit namespace × 16-bit
 # bucket + namespace claim markers, truncated string min/max stats; v4:
 # optional PAGED column layout — fixed value-stride sections with per-page
-# min/max stats for sub-partition skipping).
+# min/max stats for sub-partition skipping; v5: partition-level equality
+# blooms in the stat_bloom/stat_bloom_dom manifest columns).
 # ensure_config embeds it in the store identity, so a resume against an
 # older store fails loudly instead of mixing formats; check_format gives
 # decoders the same loud failure.
-FORMAT_VERSION = 4
+FORMAT_VERSION = 5
 
 
 class ManifestStore:

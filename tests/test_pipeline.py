@@ -817,3 +817,128 @@ def test_bloom_page_skipping_equality(spark, tmp_path):
     miss = decode_table(spark, root, predicates=[("v", "==", 17)])
     assert miss.count() < 30_000
     assert miss.filter(F.col("v") == 17).count() == 0
+
+
+def test_partition_bloom_prunes_point_lookup(spark, tmp_path):
+    """Partition-level equality blooms (round-4, format v5): a point lookup
+    on a column UNCORRELATED with the partitioning (int doc_id across
+    lang-grouped partitions — every partition's min/max envelope spans the
+    domain) must prune via stat_bloom to the partitions that can actually
+    hold the value, without dropping any qualifying row; mismatched
+    predicate types must never consult the bloom."""
+    from pyspark.sql import functions as F
+
+    from parzig_spark.operators import decode_table, encode_table
+    from parzig_spark.operators.decode import prune_manifests
+    from parzig_spark.plans.manifest import ManifestStore
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    root = str(tmp_path / "partbloom")
+    encode_table(
+        docs, root, group_cols=["lang"], salt_cols=["doc_id"],
+        size_col="text", target_bytes=64 << 10, resume=False,
+    ).count()
+    store = ManifestStore(root)
+    snap = spark.read.parquet(store.fresh_snapshot())
+    total_pids = snap.select("pid").distinct().count()
+    assert total_pids > 1
+    # every string/int column rows carry a bloom; doc_id stats alone are
+    # useless here (each partition holds a doc_id sample spanning the range)
+    assert snap.filter(
+        (F.col("column") == "doc_id") & F.col("stat_bloom").isNotNull()
+    ).count() == total_pids
+
+    target = docs.agg(F.min("doc_id")).collect()[0][0]
+    kept = (
+        prune_manifests(snap, [("doc_id", "==", target)])
+        .select("pid").distinct().count()
+    )
+    assert kept < total_pids, (kept, total_pids)
+    dec = decode_table(spark, root, predicates=[("doc_id", "==", target)])
+    got = dec.filter(F.col("doc_id") == target)
+    assert got.count() == 1
+    # full row survives bit-identical through the pruned decode
+    src_sha = docs.filter(F.col("doc_id") == target).select(
+        F.sha2("text", 256).alias("s")
+    ).collect()[0]["s"]
+    assert got.select(F.sha2("text", 256).alias("s")).collect()[0]["s"] == src_sha
+
+    # absent value INSIDE both partitions' min/max envelopes: stats alone
+    # keep everything, the bloom (usually) proves it absent — and decode
+    # yields zero rows either way
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    present = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    absent_val = next(v for v in range(lo, hi) if v not in present) if (
+        len(present) < hi - lo + 1
+    ) else hi + 10**9
+    kept_absent = (
+        prune_manifests(snap, [("doc_id", "==", absent_val)])
+        .select("pid").distinct().count()
+    )
+    assert kept_absent < total_pids, kept_absent
+    assert decode_table(
+        spark, root, predicates=[("doc_id", "==", absent_val)]
+    ).filter(F.col("doc_id") == absent_val).count() == 0
+
+    # domain mismatch (int predicate on the string lang column) keeps
+    # everything — the bloom must never be consulted unsoundly
+    kept_mismatch = (
+        prune_manifests(snap, [("lang", "==", 42)])
+        .select("pid").distinct().count()
+    )
+    assert kept_mismatch == total_pids
+
+
+def test_partition_bloom_i64_domain(spark, tmp_path):
+    """i64-domain partition blooms: integer point lookups prune partitions
+    whose min/max envelopes all overlap (unsorted keys scattered across
+    partitions)."""
+    from pyspark.sql import functions as F
+
+    from parzig_spark.operators import decode_table, encode_table
+    from parzig_spark.operators.decode import prune_manifests
+    from parzig_spark.plans.manifest import ManifestStore
+
+    # 4 groups x scattered keys: every partition's k-range spans ~the whole
+    # domain, so min/max alone prunes nothing; k_hex adds a random-hex
+    # STRING lane (the `commit`-column shape) for the str bloom domain
+    df = spark.range(0, 8_000).select(
+        (F.col("id") % 4).cast("string").alias("grp"),
+        (F.pmod(F.col("id") * 48271, F.lit(8_000)) * 1_000_003).alias("k"),
+    ).withColumn("k_hex", F.md5(F.col("k").cast("string")))
+    root = str(tmp_path / "partbloom64")
+    encode_table(
+        df, root, group_cols=["grp"], salt_cols=["k"],
+        target_bytes=16 << 10, resume=False,
+    ).count()
+    store = ManifestStore(root)
+    snap = spark.read.parquet(store.fresh_snapshot())
+    total_pids = snap.select("pid").distinct().count()
+    assert total_pids >= 4
+
+    target = (555 * 48271 % 8_000) * 1_000_003
+    dec = decode_table(spark, root, predicates=[("k", "==", target)])
+    assert dec.filter(F.col("k") == target).count() == 1
+    # absent: 17 is not a multiple of 1_000_003 -> bloom prunes all pids
+    kept_absent = (
+        prune_manifests(snap, [("k", "==", 17)]).select("pid").distinct().count()
+    )
+    assert kept_absent == 0, kept_absent
+
+    # str domain: the commit-shaped random-hex lane — min/max spans ~the
+    # whole hex space in every partition, only the bloom can point-prune
+    import hashlib
+
+    hex_target = hashlib.md5(str(target).encode()).hexdigest()
+    kept_hex = (
+        prune_manifests(snap, [("k_hex", "==", hex_target)])
+        .select("pid").distinct().count()
+    )
+    assert kept_hex < total_pids, (kept_hex, total_pids)
+    dec_hex = decode_table(spark, root, predicates=[("k_hex", "==", hex_target)])
+    assert dec_hex.filter(F.col("k_hex") == hex_target).count() == 1
+    kept_hex_absent = (
+        prune_manifests(snap, [("k_hex", "==", "f" * 32)])
+        .select("pid").distinct().count()
+    )
+    assert kept_hex_absent == 0, kept_hex_absent

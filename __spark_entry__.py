@@ -916,6 +916,30 @@ def q_roundtrip_bloom_prune(spark, sf_dir):
     )
 
 
+def q_roundtrip_in_prune(spark, sf_dir):
+    """IN-list (multi-point lookup) pruning, oracle-gated: the decode-side
+    predicate ``o_custkey IN (371, 742, 1484)`` consults partition AND page
+    stats/blooms — a partition (or page) survives iff ANY listed value may
+    match, and the partition bloom excludes only when it proves EVERY value
+    absent. The per-row hash proves the list semantics drop no qualifying
+    row (the multi-value analog of roundtrip_bloom_prune's single probe)."""
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    root = tempfile.mkdtemp(prefix="parzig_inprune_")
+    encode_table(
+        src, root, group_cols=["o_orderstatus"], salt_cols=["o_orderkey"],
+        sort_cols=["o_orderkey"], target_bytes=64 << 20, resume=False,
+        page_values=4096,
+    ).count()
+    keys = [371, 742, 1484]
+    dec = decode_table(spark, root, predicates=[("o_custkey", "in", keys)])
+    return (
+        dec.filter(F.col("o_custkey").isin(keys))
+        .select("o_orderkey", "o_custkey",
+                _floor_cents(F.col("o_totalprice")).alias("price_cents"))
+        .orderBy("o_orderkey")
+    )
+
+
 def q_roundtrip_pruned_prefix(spark, sf_dir):
     """String RANGE + PREFIX partition pruning, oracle-gated: documents are
     encoded bucketed by source (src0..src19), then decoded under a
@@ -1425,6 +1449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_pruned_prefix": q_roundtrip_pruned_prefix,
         "roundtrip_paged_prune": q_roundtrip_paged_prune,
         "roundtrip_bloom_prune": q_roundtrip_bloom_prune,
+        "roundtrip_in_prune": q_roundtrip_in_prune,
         "compression_summary": q_compression_summary,
         "compression_bytes": q_compression_bytes,
         "streaming_window": q_streaming_window,
@@ -1584,6 +1609,11 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
             SELECT o_orderkey, o_orderpriority,
                    CAST(floor(o_totalprice*100) AS BIGINT) AS price_cents
             FROM orders WHERE o_custkey = 371 ORDER BY o_orderkey
+        """,
+        "roundtrip_in_prune": """
+            SELECT o_orderkey, o_custkey,
+                   CAST(floor(o_totalprice*100) AS BIGINT) AS price_cents
+            FROM orders WHERE o_custkey IN (371, 742, 1484) ORDER BY o_orderkey
         """,
         "compression_summary": """
             SELECT col AS "column", (SELECT count(*) FROM documents) AS n_values

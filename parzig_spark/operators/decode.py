@@ -234,6 +234,14 @@ def _exclusion_condition(op: str, val) -> "F.Column":
         if upper is not None:
             cond = cond | (lo >= F.lit(upper))
         return cond
+    if op == "in":
+        # excludable iff EVERY listed value is excludable (AND of the
+        # equality exclusions); empty list matches nothing — always exclude
+        conds = [_exclusion_condition("==", v2) for v2 in val]
+        out = F.lit(True)
+        for c in conds:
+            out = out & c
+        return out
     raise ValueError(f"unsupported predicate op: {op}")
 
 
@@ -244,6 +252,11 @@ def _page_may_match(
     stats: True unless the page's [min, max] envelope — or, for equality,
     its bloom filter — PROVES no row can satisfy `op val` (missing stats
     keep the page — never unsound)."""
+    if op == "in":
+        # the page may match iff ANY listed value may match
+        return any(
+            _page_may_match("==", v2, pmin, pmax, bloom, bloom_dom) for v2 in val
+        )
     if op in ("==", "=") and bloom and bloom_dom:
         from ..codecs.stats import bloom_may_contain
 
@@ -280,13 +293,14 @@ def _page_may_match(
     return True
 
 
-def _bloom_absent_udf(val):
+def _bloom_absent_udf(vals):
     """Arrow-batched twin of stats.bloom_may_contain for manifest rows:
-    True only where the partition bloom PROVES `val` absent. Python-side by
-    necessity (bit probes into a base64 bitmap have no Catalyst
+    True only where the partition bloom PROVES every value in `vals`
+    absent (one value for ``==``, the whole list for ``in``). Python-side
+    by necessity (bit probes into a base64 bitmap have no Catalyst
     expression), but it runs over MANIFEST rows — metadata scale, one
     short row per (partition, column), never data scale — and each probe
-    is a b64decode plus four bit tests."""
+    is a b64decode plus four bit tests per value."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("boolean")
@@ -295,7 +309,9 @@ def _bloom_absent_udf(val):
 
         return pd.Series(
             [
-                b is not None and d is not None and not bloom_may_contain(b, d, val)
+                b is not None
+                and d is not None
+                and all(not bloom_may_contain(b, d, v) for v in vals)
                 for b, d in zip(bloom, dom)
             ],
             dtype=bool,
@@ -323,12 +339,17 @@ def prune_manifests(manifests: DataFrame, predicates) -> DataFrame:
     has_bloom = "stat_bloom" in manifests.columns
     for col_name, op, val in predicates:
         cond = F.col("stat_min").isNotNull() & _exclusion_condition(op, val)
-        if has_bloom and op in ("==", "="):
-            absent = _bloom_absent_udf(val)
-            cond = cond | (
-                F.col("stat_bloom").isNotNull()
-                & absent(F.col("stat_bloom"), F.col("stat_bloom_dom"))
-            )
+        if has_bloom and op in ("==", "=", "in"):
+            # == probes one value; IN is excludable iff the bloom proves
+            # EVERY listed value absent (an IN with no values excludes
+            # vacuously via the min/max branch above, never reaching here)
+            vals = list(val) if op == "in" else [val]
+            if vals:
+                absent = _bloom_absent_udf(vals)
+                cond = cond | (
+                    F.col("stat_bloom").isNotNull()
+                    & absent(F.col("stat_bloom"), F.col("stat_bloom_dom"))
+                )
         excluded = manifests.filter(
             (F.col("column") == col_name) & cond
         ).select("pid")

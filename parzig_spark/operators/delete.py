@@ -53,6 +53,8 @@ def _match_mask(arr: pa.Array, op: str, val) -> np.ndarray:
 
     if op in ("startswith", "like_prefix"):
         m = pc.starts_with(arr, pattern=str(val))
+    elif op == "in":
+        m = pc.is_in(arr, value_set=pa.array(list(val), type=arr.type))
     else:
         try:
             kernel = {

@@ -93,6 +93,21 @@ def test_delete_not_equal_predicate(spark, store):
     assert verify_roundtrip(expected, dec, KEYS, ["lang", "content"])["ok"]
 
 
+def test_delete_in_list_predicate(spark, store):
+    """IN-list deletes: one op removes several langs at once; the pruning
+    path excludes a partition only when EVERY listed value is excludable."""
+    corpus, root = store
+    langs = sorted(r["lang"] for r in corpus.select("lang").distinct().collect())
+    doomed = langs[:2]
+    n_match = corpus.filter(corpus.lang.isin(doomed)).count()
+    stats = delete_rows(spark, root, [("lang", "in", doomed)])
+    assert stats["committed"]
+    assert stats["rows_deleted"] == n_match
+    dec = decode_table(spark, root)
+    expected = corpus.filter(~corpus.lang.isin(doomed))
+    assert verify_roundtrip(expected, dec, KEYS, ["lang", "content"])["ok"]
+
+
 def test_delete_time_travel_pre_delete_view(spark, store):
     """A snapshot written BEFORE the delete must still see the rows — the
     sidecar records the committed op set at snapshot time."""

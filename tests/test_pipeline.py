@@ -942,3 +942,84 @@ def test_partition_bloom_i64_domain(spark, tmp_path):
         .select("pid").distinct().count()
     )
     assert kept_hex_absent == 0, kept_hex_absent
+
+
+def test_in_list_pruning_all_levels(spark, tmp_path):
+    """IN-list predicates (multi-point lookups) prune at every level:
+    partition min/max (excluded iff EVERY listed value is excluded),
+    partition blooms (excluded iff the bloom proves every value absent),
+    and per-page stats/blooms inside a surviving partition (a page
+    survives iff ANY listed value may match)."""
+    from pyspark.sql import functions as F
+
+    from parzig_spark.operators import decode_table, encode_table
+    from parzig_spark.operators.decode import _page_may_match, prune_manifests
+    from parzig_spark.plans.manifest import ManifestStore
+
+    # --- partition level: range-grouped k + a scattered value v per row
+    df = spark.range(0, 100_000).select(
+        (F.col("id") / 12_500).cast("int").alias("grp"),
+        F.col("id").alias("k"),
+        (F.pmod(F.col("id") * 48271, F.lit(100_000)) * 1_000_003).alias("v"),
+    )
+    root = str(tmp_path / "instore")
+    encode_table(
+        df, root, group_cols=["grp"], salt_cols=["k"],
+        target_bytes=256 << 10, resume=False,
+    ).count()
+    store = ManifestStore(root)
+    snap = spark.read.parquet(store.fresh_snapshot())
+    total_pids = snap.select("pid").distinct().count()
+    assert total_pids > 2
+
+    # min/max: both targets sit low in the k-range -> high-k pids drop
+    kept = (
+        prune_manifests(snap, [("k", "in", [5, 17_000])])
+        .select("pid").distinct().count()
+    )
+    assert 0 < kept < total_pids, (kept, total_pids)
+    # empty IN matches nothing: every stats-bearing partition is excluded
+    kept0 = (
+        prune_manifests(snap, [("k", "in", [])]).select("pid").distinct().count()
+    )
+    assert kept0 == 0, kept0
+
+    # bloom: v is scattered (every pid's min/max spans the domain); values
+    # absent from the data (not multiples of 1_000_003) prune ALL pids
+    kept_absent = (
+        prune_manifests(snap, [("v", "in", [17, 23, 99])])
+        .select("pid").distinct().count()
+    )
+    assert kept_absent == 0, kept_absent
+    # present values rescue their partitions: every row with v in the list
+    # must survive the pruned decode
+    t1 = (123 * 48271 % 100_000) * 1_000_003
+    t2 = (77_777 * 48271 % 100_000) * 1_000_003
+    dec = decode_table(spark, root, predicates=[("v", "in", [t1, t2, 17])])
+    got = dec.filter(F.col("v").isin([t1, t2, 17])).collect()
+    assert sorted(r["v"] for r in got) == sorted([t1, t2])
+
+    # --- page level: one partition, k sorted, 8192-value pages; IN hits
+    # pages 0 and 2 only -> exactly those sections decode
+    df1 = spark.range(0, 50_000).select(
+        F.lit("g").alias("grp"), F.col("id").alias("k"),
+        (F.col("id") * 3).alias("w"),
+    )
+    root1 = str(tmp_path / "instore_paged")
+    encode_table(
+        df1, root1, group_cols=["grp"], salt_cols=["k"], sort_cols=["k"],
+        target_bytes=1 << 30, resume=False, page_values=8192,
+    ).count()
+    store1 = ManifestStore(root1)
+    assert len(store1.committed_pids()) == 1
+    dec_k = decode_table(spark, root1, predicates=[("k", "in", [5, 17_000])])
+    rows = dec_k.collect()
+    assert len(rows) == 2 * 8192, len(rows)
+    ks = {r["k"] for r in rows}
+    assert 5 in ks and 17_000 in ks
+    assert {r["w"] for r in rows if r["k"] in (5, 17_000)} == {15, 51_000}
+
+    # --- executor-twin unit checks
+    assert _page_may_match("in", [5, 17_000], 0, 8191) is True
+    assert _page_may_match("in", [9_000, 17_000], 0, 8191) is False
+    assert _page_may_match("in", [], 0, 8191) is False  # empty -> excluded

@@ -940,6 +940,34 @@ def q_roundtrip_in_prune(spark, sf_dir):
     )
 
 
+def q_agg_pushdown(spark, sf_dir):
+    """Metadata-only aggregate pushdown, oracle-gated — the Parquet
+    footer-aggregate / Iceberg partition-stats analog (the reference parses
+    Statistics but never consults them, generated/parquet.zig:55-76):
+    orders encode banded by o_orderkey; COUNT/SUM/MIN/MAX under a range
+    predicate answer from manifest stat_sum/stat_nulls/min/max for the
+    fully-covered bands, decode ONLY the band the predicate straddles, and
+    the combined row must hash-match DuckDB computing the same aggregates
+    from raw rows (any unsound metadata shortcut shows up as a value
+    mismatch)."""
+    from parzig_spark.operators import aggregate_store
+
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "okey_band", (F.col("o_orderkey") / 8192).cast("int")
+    )
+    root = tempfile.mkdtemp(prefix="parzig_aggpush_")
+    encode_table(
+        src, root, group_cols=["okey_band"], salt_cols=["o_orderkey"],
+        target_bytes=128 << 10, resume=False,
+    ).count()
+    return aggregate_store(
+        spark, root,
+        [("count", "*"), ("count", "o_custkey"), ("sum", "o_orderkey"),
+         ("min", "o_orderkey"), ("max", "o_orderkey")],
+        predicates=[("o_orderkey", "<=", 30_000)],
+    )
+
+
 def q_roundtrip_pruned_prefix(spark, sf_dir):
     """String RANGE + PREFIX partition pruning, oracle-gated: documents are
     encoded bucketed by source (src0..src19), then decoded under a
@@ -1450,6 +1478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_paged_prune": q_roundtrip_paged_prune,
         "roundtrip_bloom_prune": q_roundtrip_bloom_prune,
         "roundtrip_in_prune": q_roundtrip_in_prune,
+        "agg_pushdown": q_agg_pushdown,
         "compression_summary": q_compression_summary,
         "compression_bytes": q_compression_bytes,
         "streaming_window": q_streaming_window,
@@ -1614,6 +1643,14 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
             SELECT o_orderkey, o_custkey,
                    CAST(floor(o_totalprice*100) AS BIGINT) AS price_cents
             FROM orders WHERE o_custkey IN (371, 742, 1484) ORDER BY o_orderkey
+        """,
+        "agg_pushdown": """
+            SELECT count(*) AS count_star,
+                   count(o_custkey) AS count_o_custkey,
+                   CAST(sum(o_orderkey) AS BIGINT) AS sum_o_orderkey,
+                   min(o_orderkey) AS min_o_orderkey,
+                   max(o_orderkey) AS max_o_orderkey
+            FROM orders WHERE o_orderkey <= 30000
         """,
         "compression_summary": """
             SELECT col AS "column", (SELECT count(*) FROM documents) AS n_values

@@ -174,6 +174,27 @@ def main() -> None:
         "way.",
     )
 
+    from parzig_spark.operators import aggregate_store
+
+    grab(
+        "Aggregate pushdown — COUNT/SUM/MIN/MAX from manifest stats",
+        aggregate_store(
+            spark, store3,
+            [("count", "*"), ("sum", "o_orderkey"),
+             ("min", "o_orderkey"), ("max", "o_orderkey")],
+            predicates=[("o_orderkey", "<=", 30_000)],
+        ),
+        "aggregate_store under a range predicate: everything left of the "
+        "final union is METADATA scale — manifest rows aggregate per "
+        "partition into covered/partial classes (exact stat_sum/stat_nulls "
+        "decimal strings, format v6), fully-covered partitions contribute "
+        "their stats verbatim, and the mapInArrow decode subtree runs ONLY "
+        "over the partitions the predicate straddles (left-semi join on "
+        "the partial pid set). No blob is opened for a fully-covered "
+        "partition; with no predicates and no deletes the decode subtree "
+        "is empty and a 100-TB COUNT/SUM touches zero data files.",
+    )
+
     from parzig_spark.operators import compact_store
 
     dstc = tempfile.mkdtemp(prefix="explain_compact_")

@@ -188,6 +188,25 @@ def string_upper_bound(s: str, limit: int = STR_STAT_CHARS) -> str | None:
     return increment_string(s[:limit])
 
 
+def column_agg_stats(arr: pa.Array) -> tuple[str | None, int]:
+    """Exact per-partition aggregate stats for metadata-only queries
+    (the Parquet footer / Iceberg partition-stats aggregate-pushdown
+    analog): ``(sum as a decimal string for integer-lane columns, null
+    count)``.
+
+    The sum accumulates in decimal128(38, 0) — exact far beyond int64
+    (2^40 int64 values sum to < 1e31, well inside 38 digits) and
+    independent of partition iteration order, so it is bit-reproducible
+    across task counts. Non-integer types record no sum (float sums are
+    order-dependent; string/temporal sums are meaningless); the null
+    count is recorded for every type."""
+    nulls = int(arr.null_count)
+    if pa.types.is_integer(arr.type) and len(arr) != nulls:
+        s = pa.compute.sum(arr.cast(pa.decimal128(38, 0))).as_py()
+        return str(int(s)), nulls
+    return None, nulls
+
+
 def column_minmax(arr: pa.Array) -> tuple[str | None, str | None]:
     """Canonical-string min/max for orderable scalar types (pruning stats).
 

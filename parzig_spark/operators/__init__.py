@@ -1,3 +1,4 @@
+from .aggregate import aggregate_store  # noqa: F401
 from .compact import compact_store, gc_store, plan_compaction  # noqa: F401
 from .delete import delete_rows  # noqa: F401
 from .evolve import add_columns, drop_columns  # noqa: F401

@@ -1,0 +1,289 @@
+"""Metadata-only aggregate pushdown: COUNT/SUM/MIN/MAX answered from the
+manifest statistics without opening a single blob.
+
+The Parquet footer-aggregate / Iceberg partition-stats analog (the
+reference parses exactly these Statistics structures but never consults
+them — /root/reference/src/generated/parquet.zig:55-76): manifests carry
+exact per-partition ``n_values``, ``stat_nulls``, ``stat_sum`` (decimal
+string, integer lanes), and exact integer ``stat_min``/``stat_max``, so a
+whole-store COUNT or SUM is a METADATA-scale job — at 10^12-file scale an
+O(manifest-rows) aggregation instead of an O(data) scan.
+
+With predicates the store splits three ways per partition, all Spark-side:
+
+- **pruned** — the envelope proves no row matches (prune_manifests);
+- **fully covered** — the envelope proves EVERY non-null row matches
+  (`_inclusion_condition`, the dual of exclusion) and the predicate
+  columns carry no nulls: the partition's stats contribute verbatim;
+- **partial** — everything else (plus any partition touched by a
+  merge-on-read delete bitmap): decoded via the normal pruned/paged path,
+  row-filtered, aggregated, and combined with the metadata half.
+
+Soundness over speed everywhere: a partition that cannot be PROVEN fully
+covered falls to the decode path — never wrong, only slower.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.manifest import ManifestStore
+from .decode import (
+    _arrow_target_type,
+    _inclusion_condition,
+    _spark_type,
+    decode_table,
+    predicate_expr,
+    prune_manifests,
+)
+
+_FNS = ("count", "sum", "min", "max", "null_count")
+
+
+def _column_kinds(store: ManifestStore) -> tuple[dict[str, str], dict[str, str]]:
+    """(storage lane per column — "int" / "str" / "other", Spark DDL type
+    per column) from ONE committed manifest file — the lane drives which
+    stats comparisons are provably exact, the type gives the decode-half
+    aggregates their natural output type."""
+    import json
+
+    table = store.read_one_manifest()
+    if table is None or table.num_rows == 0:
+        raise ValueError(f"no committed partitions in {store.root}")
+    first_pid = table.column("pid")[0].as_py()
+    kinds: dict[str, str] = {}
+    types: dict[str, str] = {}
+    for row in table.filter(
+        pa.compute.equal(table.column("pid"), first_pid)
+    ).to_pylist():
+        meta = json.loads(row["meta_json"])
+        t = _arrow_target_type(meta)
+        if pa.types.is_integer(t):
+            kinds[row["column"]] = "int"
+        elif pa.types.is_string(t) or pa.types.is_large_string(t):
+            kinds[row["column"]] = "str"
+        else:
+            kinds[row["column"]] = "other"
+        types[row["column"]] = _spark_type(meta)
+    return kinds, types
+
+
+def _out_name(fn: str, col: str) -> str:
+    return "count_star" if (fn, col) == ("count", "*") else f"{fn}_{col}"
+
+
+def aggregate_store(
+    spark: SparkSession,
+    store_root: str,
+    aggs: list[tuple],
+    predicates: list[tuple] | None = None,
+    return_plan: bool = False,
+):
+    """Aggregate over an encoded store, answering from manifest stats
+    wherever provably exact and decoding only the partitions that need it.
+
+    ``aggs``: list of ``(fn, column)`` with fn in {"count", "sum", "min",
+    "max", "null_count"}; ``("count", "*")`` counts rows. SQL semantics
+    throughout: count/sum/min/max ignore nulls, ``count(*)`` doesn't,
+    empty input yields count 0 and NULL for the rest.
+
+    Returns a one-row DataFrame with columns named ``{fn}_{column}``
+    (``count_star``); with ``return_plan=True``, returns ``(df, plan)``
+    where plan reports how many partitions were pruned / answered from
+    metadata / decoded (two metadata-scale count actions).
+
+    sum/min/max are metadata-eligible on integer-lane columns only (their
+    stats are exact decimal strings; float sums are order-dependent and
+    string bounds truncated) — requesting them on other types simply runs
+    the whole query through the decode path, predicates still pruning."""
+    for fn, col in aggs:
+        if fn not in _FNS:
+            raise ValueError(f"unsupported aggregate fn: {fn!r}")
+        if col == "*" and fn != "count":
+            raise ValueError(f"{fn}(*) is not a thing — name a column")
+    store = ManifestStore(store_root)
+    store.check_format()
+    kinds, sql_types = _column_kinds(store)
+    for fn, col in aggs:
+        if col != "*" and col not in kinds:
+            raise ValueError(f"unknown column {col!r} in {store_root}")
+    ref_col = next(iter(kinds))  # any column: one manifest row per (pid, col)
+
+    # every agg must be metadata-computable, else the metadata half would
+    # be missing fields — fall back to decoding everything (still pruned)
+    meta_capable = all(
+        fn in ("count", "null_count") or kinds.get(col) == "int"
+        for fn, col in aggs
+        if col != "*"
+    )
+
+    snap = store.fresh_snapshot()
+    manifests = spark.read.parquet(snap).select(
+        "pid", "column", "n_values", "stat_min", "stat_max",
+        "stat_bloom", "stat_bloom_dom", "stat_sum", "stat_nulls",
+    )
+    if predicates:
+        manifests = prune_manifests(manifests, predicates)
+
+    delete_pids = sorted(store.delete_touched_pids())
+    delete_df = (
+        spark.createDataFrame([(p,) for p in delete_pids], "pid long")
+        if delete_pids
+        else None
+    )
+
+    # ---- classify survivors: fully covered vs partial ----------------------
+    if not meta_capable:
+        full_pids = manifests.select("pid").distinct().limit(0)
+    elif predicates:
+        flags = []
+        for i, (col_name, op, val) in enumerate(predicates):
+            incl = _inclusion_condition(op, val, kinds.get(col_name, "other"))
+            flags.append(
+                F.max(
+                    F.when(
+                        (F.col("column") == col_name)
+                        & (F.col("stat_nulls") == 0)
+                        & incl,
+                        1,
+                    ).otherwise(0)
+                ).alias(f"_f{i}")
+            )
+        per_pid = manifests.groupBy("pid").agg(*flags)
+        cond = F.lit(True)
+        for i in range(len(predicates)):
+            cond = cond & (F.col(f"_f{i}") == 1)
+        full_pids = per_pid.filter(cond).select("pid")
+    else:
+        full_pids = manifests.select("pid").distinct()
+    # sum-eligibility per pid: stat_sum present (or the column all-null)
+    for fn, col in aggs:
+        if fn == "sum":
+            ok = manifests.filter(
+                (F.col("column") == col)
+                & (F.col("stat_sum").isNotNull() | (F.col("stat_nulls") == F.col("n_values")))
+            ).select("pid")
+            full_pids = full_pids.join(ok, on="pid", how="left_semi")
+    if delete_df is not None:
+        full_pids = full_pids.join(F.broadcast(delete_df), "pid", "left_anti")
+    partial_pids = manifests.select("pid").distinct().join(
+        full_pids, on="pid", how="left_anti"
+    )
+
+    # ---- metadata half -----------------------------------------------------
+    meta_rows = manifests.join(full_pids, on="pid", how="left_semi")
+    meta_aggs, dec_aggs = [], []
+    for fn, col in aggs:
+        name = _out_name(fn, col)
+        if (fn, col) == ("count", "*"):
+            meta_aggs.append(
+                F.sum(F.when(F.col("column") == ref_col, F.col("n_values")))
+                .cast("long").alias(name)
+            )
+            dec_aggs.append(F.count(F.lit(1)).cast("long").alias(name))
+        elif fn == "count":
+            meta_aggs.append(
+                F.sum(
+                    F.when(
+                        F.col("column") == col,
+                        F.col("n_values") - F.col("stat_nulls"),
+                    )
+                ).cast("long").alias(name)
+            )
+            dec_aggs.append(F.count(F.col(col)).cast("long").alias(name))
+        elif fn == "null_count":
+            meta_aggs.append(
+                F.sum(F.when(F.col("column") == col, F.col("stat_nulls")))
+                .cast("long").alias(name)
+            )
+            dec_aggs.append(
+                F.sum(F.col(col).isNull().cast("long")).cast("long").alias(name)
+            )
+        elif fn == "sum":
+            if kinds[col] == "int":
+                # exact: per-partition decimal strings + a decimal(38,0)
+                # accumulator on the decoded side — no float detour
+                meta_aggs.append(
+                    F.sum(
+                        F.when(
+                            F.col("column") == col,
+                            F.col("stat_sum").cast("decimal(38,0)"),
+                        )
+                    ).cast("long").alias(name)
+                )
+                dec_aggs.append(
+                    F.sum(F.col(col).cast("decimal(38,0)")).cast("long").alias(name)
+                )
+            else:
+                # non-integer sums are decode-only (meta_capable is False):
+                # the metadata half contributes a typed NULL, the decode
+                # half sums natively
+                meta_aggs.append(F.lit(None).cast("double").alias(name))
+                dec_aggs.append(F.sum(F.col(col)).cast("double").alias(name))
+        elif fn == "min":
+            if kinds[col] == "int":
+                meta_aggs.append(
+                    F.min(
+                        F.when(F.col("column") == col, F.col("stat_min").cast("long"))
+                    ).alias(name)
+                )
+                dec_aggs.append(F.min(F.col(col)).cast("long").alias(name))
+            else:
+                # decode-only lane: natural type both halves (meta is NULL)
+                meta_aggs.append(F.lit(None).cast(sql_types[col]).alias(name))
+                dec_aggs.append(F.min(F.col(col)).alias(name))
+        else:  # max
+            if kinds[col] == "int":
+                meta_aggs.append(
+                    F.max(
+                        F.when(F.col("column") == col, F.col("stat_max").cast("long"))
+                    ).alias(name)
+                )
+                dec_aggs.append(F.max(F.col(col)).cast("long").alias(name))
+            else:
+                meta_aggs.append(F.lit(None).cast(sql_types[col]).alias(name))
+                dec_aggs.append(F.max(F.col(col)).alias(name))
+    meta_half = meta_rows.agg(*meta_aggs)
+
+    # ---- decode half (partial + delete-touched partitions only) ------------
+    needed = sorted(
+        {c for _, c in aggs if c != "*"} | {c for c, _, _ in (predicates or [])}
+    ) or [ref_col]
+    dec = decode_table(
+        spark, store_root, columns=needed, predicates=predicates, pids=partial_pids
+    )
+    if predicates:
+        dec = dec.filter(predicate_expr(predicates))
+    dec_half = dec.agg(*dec_aggs)
+
+    # ---- combine (sum counts/sums, min mins, max maxes — nulls ignored) ----
+    combo = []
+    for fn, col in aggs:
+        name = _out_name(fn, col)
+        if fn in ("count", "sum", "null_count"):
+            e = F.sum(F.col(name)).cast("long")
+            if fn != "sum":
+                e = F.coalesce(e, F.lit(0).cast("long"))
+        elif fn == "min":
+            e = F.min(F.col(name))
+        else:
+            e = F.max(F.col(name))
+        combo.append(e.alias(name))
+    out = meta_half.unionByName(dec_half).agg(*combo)
+
+    if not return_plan:
+        return out
+    n_total = spark.read.parquet(snap).select("pid").distinct().count()
+    n_surv = manifests.select("pid").distinct().count()
+    n_full = full_pids.count()
+    plan = {
+        "pids_total": n_total,
+        "pids_pruned": n_total - n_surv,
+        "pids_metadata": n_full,
+        "pids_decoded": n_surv - n_full,
+    }
+    return out, plan

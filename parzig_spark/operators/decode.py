@@ -245,6 +245,99 @@ def _exclusion_condition(op: str, val) -> "F.Column":
     raise ValueError(f"unsupported predicate op: {op}")
 
 
+def _inclusion_condition(op: str, val, kind: str) -> "F.Column":
+    """Manifest-stats condition under which EVERY non-null row of the
+    partition PROVABLY satisfies `op val` — the dual of
+    :func:`_exclusion_condition`, used by aggregate_store to answer
+    aggregates from metadata alone (a partition is metadata-eligible only
+    when no row-level filtering could change its contribution).
+
+    ``kind`` is the column's storage lane ("int", "str", or "other"),
+    resolved driver-side from the manifest meta: integer stats strings are
+    exact decimal integers (decimal(38,0) casts are lossless), so every
+    comparison is sound; string stats are truncated-but-sound, so only the
+    equality PIN (stat_min == stat_max == v, provable only when the value
+    fits untruncated) and the prefix interval are usable; anything else
+    conservatively proves nothing (False keeps the partition on the decode
+    path — never wrong, only slower)."""
+    if kind == "int":
+        numeric = isinstance(val, (int, float)) and not isinstance(val, bool)
+        if not numeric:
+            return F.lit(False)
+        lo = F.col("stat_min").try_cast("decimal(38,0)")
+        hi = F.col("stat_max").try_cast("decimal(38,0)")
+        v = F.lit(val)
+        if op == ">=":
+            return lo >= v
+        if op == ">":
+            return lo > v
+        if op == "<=":
+            return hi <= v
+        if op == "<":
+            return hi < v
+        if op in ("==", "="):
+            return (lo == v) & (hi == v)
+        if op == "!=":
+            return (hi < v) | (lo > v)
+        if op == "in":
+            vals = list(val)
+            if not vals:
+                return F.lit(False)
+            return (lo == hi) & lo.isin([F.lit(x) for x in vals])
+        return F.lit(False)
+    if kind == "str":
+        if not isinstance(val, str):
+            return F.lit(False)
+        lo, hi, v = F.col("stat_min"), F.col("stat_max"), F.lit(val)
+        if op in ("==", "="):
+            # pin: lo == v needs the TRUE min to equal v (a longer string
+            # sharing the 16-char prefix would leave hi incremented != v)
+            return (lo == v) & (hi == v)
+        if op == "in":
+            vals = [x for x in val if isinstance(x, str)]
+            if not vals or len(vals) != len(list(val)):
+                return F.lit(False)
+            return (lo == hi) & lo.isin([F.lit(x) for x in vals])
+        if op in ("startswith", "like_prefix"):
+            upper = _prefix_upper(str(val))
+            if upper is None:
+                return F.lit(False)
+            # stat_min <= true min and stat_max >= true max, so the stored
+            # envelope inside [p, next(p)) pins every row to the prefix
+            return (lo >= v) & (hi < F.lit(upper))
+        return F.lit(False)
+    return F.lit(False)
+
+
+def predicate_expr(predicates) -> "F.Column":
+    """Row-level conjunction for the same (column, op, value) triples
+    decode_table prunes with — the residual filter callers apply on the
+    decoded rows (pruning is partition/page-granular, never row-exact)."""
+    cond = F.lit(True)
+    for col_name, op, val in predicates or []:
+        c = F.col(col_name)
+        if op in ("==", "="):
+            e = c == val
+        elif op == "!=":
+            e = c != val
+        elif op == ">=":
+            e = c >= val
+        elif op == ">":
+            e = c > val
+        elif op == "<=":
+            e = c <= val
+        elif op == "<":
+            e = c < val
+        elif op == "in":
+            e = c.isin(list(val)) if len(list(val)) else F.lit(False)
+        elif op in ("startswith", "like_prefix"):
+            e = c.startswith(str(val))
+        else:
+            raise ValueError(f"unsupported predicate op: {op}")
+        cond = cond & e
+    return cond
+
+
 def _page_may_match(
     op: str, val, pmin, pmax, bloom: str | None = None, bloom_dom: str | None = None
 ) -> bool:
@@ -385,8 +478,14 @@ def decode_table(
     predicates: list[tuple] | None = None,
     snapshot: int | None = None,
     since_snapshot: int | None = None,
+    pids: "DataFrame | list[int] | None" = None,
 ) -> DataFrame:
     """Decode committed partitions; returns the reconstructed DataFrame.
+
+    ``pids`` restricts the read to the given partition ids (a list, or a
+    DataFrame with a ``pid`` column — kept Spark-side so metadata-scale
+    pid sets never round-trip through the driver); aggregate_store uses
+    this to decode only the partitions its metadata path cannot answer.
 
     Manifests travel Spark-side end to end: the driver reads ONE manifest
     file for the schema, then `spark.read.parquet` on the compacted
@@ -432,6 +531,14 @@ def decode_table(
         if base:
             base_df = spark.createDataFrame([(int(p),) for p in sorted(base)], "pid long")
             manifests = manifests.join(F.broadcast(base_df), on="pid", how="left_anti")
+    if pids is not None:
+        if isinstance(pids, DataFrame):
+            pid_df = pids.select("pid")
+        else:
+            pid_df = spark.createDataFrame(
+                [(int(p),) for p in sorted(set(pids))], "pid long"
+            )
+        manifests = manifests.join(pid_df, on="pid", how="left_semi")
     # Prune BEFORE the projection filter: a predicate on a non-projected
     # column (SELECT doc_id WHERE lang = 'zh') must still see that column's
     # stats rows to drop partitions.

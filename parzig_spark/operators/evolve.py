@@ -41,6 +41,7 @@ from ..plans.manifest import ManifestStore
 from ..selector import choose_codec
 from .encode import (
     SUMMARY_SCHEMA,
+    column_agg_stats,
     column_bloom,
     column_digest,
     column_minmax,
@@ -260,6 +261,7 @@ def add_columns(
                 dt = time.perf_counter() - t0
                 smin, smax = column_minmax(arr)
                 sbloom, sbloom_dom = column_bloom(arr)
+                ssum, snulls = column_agg_stats(arr)
                 blobs[name] = blob
                 new_rows.append(
                     {
@@ -267,6 +269,8 @@ def add_columns(
                         "stat_max": smax,
                         "stat_bloom": sbloom,
                         "stat_bloom_dom": sbloom_dom,
+                        "stat_sum": ssum,
+                        "stat_nulls": snulls,
                         "pid": pid,
                         "column": name,
                         "codec": codec,

@@ -57,6 +57,13 @@ MANIFEST_SCHEMA = pa.schema(
         # uncorrelated with the sort order). Null for unbloomable types.
         ("stat_bloom", pa.string()),
         ("stat_bloom_dom", pa.string()),
+        # Exact per-partition aggregates (v6) — metadata-only COUNT/SUM/
+        # MIN/MAX answers without opening a blob (the Parquet footer /
+        # Iceberg partition-stats aggregate-pushdown analog). stat_sum is
+        # a decimal string (exact, order-independent) for integer-lane
+        # columns, null otherwise; stat_nulls is the column's null count.
+        ("stat_sum", pa.string()),
+        ("stat_nulls", pa.int64()),
     ]
 )
 
@@ -67,11 +74,13 @@ MANIFEST_SCHEMA = pa.schema(
 # bucket + namespace claim markers, truncated string min/max stats; v4:
 # optional PAGED column layout — fixed value-stride sections with per-page
 # min/max stats for sub-partition skipping; v5: partition-level equality
-# blooms in the stat_bloom/stat_bloom_dom manifest columns).
+# blooms in the stat_bloom/stat_bloom_dom manifest columns; v6: exact
+# per-partition stat_sum/stat_nulls aggregate stats for metadata-only
+# COUNT/SUM/MIN/MAX — operators/aggregate.py).
 # ensure_config embeds it in the store identity, so a resume against an
 # older store fails loudly instead of mixing formats; check_format gives
 # decoders the same loud failure.
-FORMAT_VERSION = 5
+FORMAT_VERSION = 6
 
 
 class ManifestStore:
@@ -243,6 +252,22 @@ class ManifestStore:
             for f in os.listdir(d)
             if f.startswith("_committed_")
         )
+
+    def delete_touched_pids(self) -> set[int]:
+        """Partitions carrying at least one committed delete bitmap — one
+        listdir per op (each returns only the pids that op touched), never
+        a scan over all partitions. Metadata answers over these pids are
+        stale by construction; aggregate_store routes them to the decode
+        path."""
+        out: set[int] = set()
+        for op in self.committed_delete_ops():
+            d = self.deletes_dir(op)
+            if not os.path.isdir(d):
+                continue
+            for f in os.listdir(d):
+                if f.endswith(".bin"):
+                    out.add(int(f[:-4]))
+        return out
 
     def commit_delete_op(self, op_id: str, bitmaps: dict[int, bytes]) -> bool:
         """Write one delete op's per-partition bitmaps, then its marker

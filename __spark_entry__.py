@@ -480,6 +480,38 @@ def q_roundtrip_compacted(spark, sf_dir):
     )
 
 
+def q_roundtrip_zorder_prune(spark, sf_dir):
+    """Z-order compaction rewrite, oracle-gated — the Iceberg
+    rewrite_data_files(strategy => 'zorder') analog: orders compact along a
+    Morton curve over (o_custkey, o_orderkey) ranks into the PAGED layout,
+    then decode under predicates on BOTH axes; page envelopes stay tight on
+    each z-ordered column, and the per-row hash proves the curve rewrite
+    and two-axis page skipping drop no qualifying row."""
+    from parzig_spark.operators import compact_store
+
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    src_root = tempfile.mkdtemp(prefix="parzig_zsrc_")
+    dst_root = tempfile.mkdtemp(prefix="parzig_zorder_")
+    encode_table(
+        src, src_root, group_cols=["o_orderstatus"], salt_cols=["o_orderkey"],
+        target_bytes=512 << 10, resume=False,
+    ).count()
+    compact_store(
+        spark, src_root, dst_root, target_bytes=64 << 20,
+        zorder_cols=["o_custkey", "o_orderkey"], page_values=4096,
+    ).count()
+    dec = decode_table(
+        spark, dst_root,
+        predicates=[("o_custkey", "<=", 500), ("o_orderkey", "<=", 60_000)],
+    )
+    return (
+        dec.filter((F.col("o_custkey") <= 500) & (F.col("o_orderkey") <= 60_000))
+        .select("o_orderkey", "o_custkey",
+                _floor_cents(F.col("o_totalprice")).alias("price_cents"))
+        .orderBy("o_orderkey")
+    )
+
+
 def _two_batch_store(spark, sf_dir):
     """Documents encoded as two batches (distinct pid namespaces — the
     streaming micro-batch shape) with a snapshot between them: the fixture
@@ -1479,6 +1511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_bloom_prune": q_roundtrip_bloom_prune,
         "roundtrip_in_prune": q_roundtrip_in_prune,
         "agg_pushdown": q_agg_pushdown,
+        "roundtrip_zorder_prune": q_roundtrip_zorder_prune,
         "compression_summary": q_compression_summary,
         "compression_bytes": q_compression_bytes,
         "streaming_window": q_streaming_window,
@@ -1651,6 +1684,12 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                    min(o_orderkey) AS min_o_orderkey,
                    max(o_orderkey) AS max_o_orderkey
             FROM orders WHERE o_orderkey <= 30000
+        """,
+        "roundtrip_zorder_prune": """
+            SELECT o_orderkey, o_custkey,
+                   CAST(floor(o_totalprice*100) AS BIGINT) AS price_cents
+            FROM orders WHERE o_custkey <= 500 AND o_orderkey <= 60000
+            ORDER BY o_orderkey
         """,
         "compression_summary": """
             SELECT col AS "column", (SELECT count(*) FROM documents) AS n_values

@@ -51,6 +51,47 @@ def _dst_pid(src_pids: list[int]) -> int:
     return int.from_bytes(h[:8], "big") & ((1 << 62) - 1)
 
 
+def _zorder_indices(table: pa.Table, zorder_cols: list[str]) -> pa.Array:
+    """Row order interleaving the bits of the given columns' RANKS — the
+    Iceberg ``rewrite_data_files(strategy => 'zorder')`` analog: after the
+    rewrite, pages are Morton-curve tiles of the k-dimensional value
+    space, so per-page [min, max] stats stay tight on EVERY z-ordered
+    column and a selective predicate on any one of them skips most pages
+    (a linear sort only ever serves its leading column).
+
+    Ranks (dense, via np.unique inverse) rather than raw values: the curve
+    is then skew- and scale-invariant — a column with values {1, 2, 10^9}
+    tiles as evenly as {1, 2, 3}. Nulls rank lowest. Each column gets
+    64 // k bits of the interleaved key; ranks wider than that are
+    right-shifted first (coarser tiles, still a valid curve). Pure numpy,
+    O(n log n) per rewrite group, no driver involvement."""
+    import numpy as np
+
+    k = len(zorder_cols)
+    bits = 64 // k
+    rank_arrs = []
+    for name in zorder_cols:
+        col = table.column(name)
+        arr = col.chunk(0) if col.num_chunks == 1 else col.combine_chunks()
+        mask = np.asarray(arr.is_null().to_numpy(zero_copy_only=False), dtype=bool)
+        vals = arr.to_numpy(zero_copy_only=False)
+        ranks = np.zeros(len(vals), dtype=np.uint64)
+        if (~mask).any():
+            valid = vals[~mask]
+            _, inv = np.unique(valid, return_inverse=True)
+            # nulls occupy rank 0; real values start at 1
+            ranks[~mask] = inv.astype(np.uint64) + 1
+            width = int(ranks.max()).bit_length()
+            if width > bits:
+                ranks >>= width - bits
+        rank_arrs.append(ranks)
+    key = np.zeros(len(table), dtype=np.uint64)
+    for b in range(bits):
+        for j, ranks in enumerate(rank_arrs):
+            key |= ((ranks >> np.uint64(b)) & np.uint64(1)) << np.uint64(b * k + j)
+    return pa.array(np.argsort(key, kind="stable"))
+
+
 def plan_compaction(
     store: ManifestStore, target_bytes: int = 64 << 20
 ) -> list[list[int]]:
@@ -102,6 +143,7 @@ def compact_store(
     outer: str | None = "auto",
     sort_cols: list[str] | None = None,
     page_values: int | None = None,
+    zorder_cols: list[str] | None = None,
 ) -> DataFrame:
     """Rewrite ``src_root``'s under-sized partitions into ``dst_root``.
 
@@ -120,13 +162,26 @@ def compact_store(
     each value range into few pages, so per-page stats/bloom skipping on
     the sorted column reads far fewer sections. Default keeps the source
     store's order and unpaged layout.
+
+    ``zorder_cols`` instead orders rewritten rows along a Morton curve
+    over the given columns' ranks (``strategy => 'zorder'``): pages become
+    k-dimensional tiles, so per-page pruning works on EVERY listed column
+    — the right rewrite when queries filter on more than one axis (a
+    linear sort serves only its leading column). Mutually exclusive with
+    ``sort_cols``; pair with ``page_values``.
     """
+    if zorder_cols is not None:
+        if sort_cols:
+            raise ValueError("zorder_cols and sort_cols are mutually exclusive")
+        if len(zorder_cols) < 2:
+            raise ValueError("zorder_cols needs >= 2 columns (use sort_cols for 1)")
     src = ManifestStore(src_root)
     src.check_format()
     with open(os.path.join(src_root, "store_config.json")) as f:
         src_config = json.load(f)
-    if sort_cols is None:
+    if sort_cols is None and zorder_cols is None:
         sort_cols = src_config.get("sort_cols") or []
+    sort_cols = sort_cols or []
     groups = plan_compaction(src, target_bytes)
     grouped_pids = {p for g in groups for p in g}
     # merge-on-read → copy-on-write handoff: any partition carrying a
@@ -155,6 +210,7 @@ def compact_store(
             "target_bytes": target_bytes,
             "columns": src_config.get("columns"),
             "sort_cols": sort_cols,
+            **({"zorder_cols": zorder_cols} if zorder_cols else {}),
             **({"page_values": page_values} if page_values else {}),
         }
     )
@@ -252,9 +308,14 @@ def compact_store(
                             parts.append(a)
                         decoded[name] = pa.chunked_array(parts).combine_chunks()
                     table = pa.table(decoded)
-                    usable_sort = [c for c in sort_cols if c in decoded]
-                    if usable_sort:
-                        table = table.sort_by([(c, "ascending") for c in usable_sort])
+                    if zorder_cols and all(c in decoded for c in zorder_cols):
+                        table = table.take(_zorder_indices(table, zorder_cols))
+                    else:
+                        usable_sort = [c for c in sort_cols if c in decoded]
+                        if usable_sort:
+                            table = table.sort_by(
+                                [(c, "ascending") for c in usable_sort]
+                            )
                     rows, blobs = [], {}
                     for name in columns:
                         arr = table.column(name)

@@ -608,6 +608,46 @@ def q_delete_rows(spark, sf_dir):
     )
 
 
+def q_upsert_merge(spark, sf_dir):
+    """UPSERT (MERGE INTO) end to end, oracle-gated: orders encode, then one
+    merge replaces every order of a set of customers with re-priced rows AND
+    inserts brand-new order keys — delete bitmaps for the matched rows, a
+    namespaced append for the new ones, one content-derived op marker. The
+    decoded store must hash-match DuckDB computing anti-join ∪ updates."""
+    from parzig_spark.operators import upsert_rows
+
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    root = tempfile.mkdtemp(prefix="parzig_upsert_")
+    encode_table(
+        src, root, group_cols=["o_orderstatus"], salt_cols=["o_orderkey"],
+        sort_cols=["o_orderkey"], target_bytes=1 << 20, resume=False,
+    ).count()
+    # replaced: orders of customers 371/742 at doubled price, priority pinned;
+    # inserted: 20 synthetic keys above the existing range
+    max_key = 10_000_000
+    updates = (
+        src.filter(F.col("o_custkey").isin([371, 742]))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn("o_orderpriority", F.lit("1-URGENT"))
+        .unionByName(
+            src.orderBy("o_orderkey").limit(20)
+            .withColumn("o_orderkey", F.col("o_orderkey") + max_key)
+            .withColumn("o_custkey", F.lit(999_999).cast("long"))
+        )
+    )
+    upsert_rows(spark, root, updates, key_cols=["o_orderkey"])
+    dec = decode_table(spark, root)
+    return (
+        dec.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").alias("sum_key"),
+            F.sum(_floor_cents(F.col("o_totalprice"))).alias("sum_price_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def q_roundtrip_lineitem_q1(spark, sf_dir):
     dec = _roundtrip(spark, sf_dir, "lineitem", ["l_returnflag", "l_linestatus"], ["l_orderkey"], sort_cols=["l_orderkey", "l_linenumber"])
     return (
@@ -1512,6 +1552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_in_prune": q_roundtrip_in_prune,
         "agg_pushdown": q_agg_pushdown,
         "roundtrip_zorder_prune": q_roundtrip_zorder_prune,
+        "upsert_merge": q_upsert_merge,
         "compression_summary": q_compression_summary,
         "compression_bytes": q_compression_bytes,
         "streaming_window": q_streaming_window,
@@ -1581,6 +1622,25 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
             SELECT doc_id, lang, n_chars, sha256(text) AS text_sha
             FROM documents
             WHERE NOT (lang = 'zh') AND NOT (doc_id < 25)
+        """,
+        "upsert_merge": """
+            WITH upd AS (
+                SELECT * REPLACE (o_totalprice*2 AS o_totalprice,
+                                  '1-URGENT' AS o_orderpriority)
+                FROM orders WHERE o_custkey IN (371, 742)
+                UNION ALL
+                SELECT * REPLACE (o_orderkey + 10000000 AS o_orderkey,
+                                  CAST(999999 AS BIGINT) AS o_custkey)
+                FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 20)
+            ), merged AS (
+                SELECT * FROM orders
+                WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+                UNION ALL SELECT * FROM upd
+            )
+            SELECT o_orderpriority, count(*) AS n_orders,
+                   CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+                   CAST(sum(CAST(floor(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents
+            FROM merged GROUP BY 1 ORDER BY 1
         """,
         "roundtrip_lineitem_q1": """
             SELECT l_returnflag, l_linestatus,

@@ -4,4 +4,5 @@ from .delete import delete_rows  # noqa: F401
 from .evolve import add_columns, drop_columns  # noqa: F401
 from .decode import decode_table, decoded_schema, register_store  # noqa: F401
 from .encode import column_digest, encode_table, plan_partitions  # noqa: F401
+from .upsert import upsert_rows  # noqa: F401
 from .verify import verify_roundtrip, verify_store  # noqa: F401

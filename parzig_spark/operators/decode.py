@@ -479,6 +479,7 @@ def decode_table(
     snapshot: int | None = None,
     since_snapshot: int | None = None,
     pids: "DataFrame | list[int] | None" = None,
+    include_pid_pos: bool = False,
 ) -> DataFrame:
     """Decode committed partitions; returns the reconstructed DataFrame.
 
@@ -486,6 +487,12 @@ def decode_table(
     DataFrame with a ``pid`` column — kept Spark-side so metadata-scale
     pid sets never round-trip through the driver); aggregate_store uses
     this to decode only the partitions its metadata path cannot answer.
+
+    ``include_pid_pos`` appends ``_pid``/``_pos`` columns — the partition
+    id and the row's PHYSICAL index within it (pre-delete, stable across
+    page skipping and delete filtering, so ``(_pid, _pos)`` addresses the
+    stored row forever). upsert_rows joins on these to build its delete
+    bitmaps without a second decode.
 
     Manifests travel Spark-side end to end: the driver reads ONE manifest
     file for the schema, then `spark.read.parquet` on the compacted
@@ -512,6 +519,8 @@ def decode_table(
     store = ManifestStore(store_root)
     store.check_format()
     cols, ddl, casts = decoded_schema(store, columns)
+    if include_pid_pos:
+        ddl = f"{ddl}, _pid long, _pos long"
     # Row-level deletes (merge-on-read): a head read applies every committed
     # delete op; a pinned (time-travel) read applies exactly the ops the
     # snapshot's sidecar recorded — a snapshot taken before a delete still
@@ -651,7 +660,28 @@ def decode_table(
                 if keep_rows is not None:
                     arr = arr.filter(keep_rows)
                 arrays.append(arr)
-            table = pa.table(dict(zip(cols, arrays)))
+            out_cols = dict(zip(cols, arrays))
+            if include_pid_pos:
+                # PHYSICAL row index: absolute within the stored partition,
+                # sliced and delete-filtered exactly like the data columns,
+                # so (pid, pos) keeps addressing the same stored row
+                n_phys = next(iter(metas.values()))["n"]
+                if survivors is not None:
+                    pos = np.concatenate(
+                        [
+                            np.arange(off, off + ln, dtype=np.int64)
+                            for off, ln in page_row_ranges(ref_paged, survivors)
+                        ]
+                    )
+                else:
+                    pos = np.arange(n_phys, dtype=np.int64)
+                if keep_rows is not None:
+                    pos = pos[np.asarray(keep_rows.to_numpy(zero_copy_only=False))]
+                out_cols["_pid"] = pa.array(
+                    np.full(len(pos), pid, dtype=np.int64)
+                )
+                out_cols["_pos"] = pa.array(pos)
+            table = pa.table(out_cols)
             yield from table.to_batches(max_chunksize=8192)
 
     return manifests.mapInArrow(decode_partition, schema=ddl)

@@ -648,6 +648,57 @@ def q_upsert_merge(spark, sf_dir):
     )
 
 
+def q_store_files(spark, sf_dir):
+    """Files inspection table (the Iceberg ``table.files`` metadata-view
+    analog; the reference dumps the same footer metadata via its CLI —
+    /root/reference/src/generated/parquet.zig:382-419), oracle-gated:
+    documents encode into a store, then the metadata-only files_table
+    listing — which never opens a blob — must account for every physical
+    value: per column, total n_values equals the source row count,
+    stat_nulls the source null count, and the exact decimal stat_sum lane
+    reproduces SUM(col) for integer columns."""
+    from parzig_spark.operators import files_table
+
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    root = tempfile.mkdtemp(prefix="parzig_files_")
+    encode_table(
+        src, root, group_cols=["lang", "source"], salt_cols=["doc_id"],
+        size_col="text", sort_cols=["doc_id"], target_bytes=1 << 20,
+        resume=False,
+    ).count()
+    ft = files_table(spark, root)
+    return (
+        ft.groupBy(F.col("column").alias("col_name"))
+        .agg(
+            F.sum("n_values").alias("n_values"),
+            F.sum("stat_nulls").alias("n_nulls"),
+            F.sum(F.col("stat_sum").cast("decimal(38,0)"))
+            .cast("long")
+            .alias("int_sum"),
+        )
+        .orderBy("col_name")
+    )
+
+
+def q_snapshot_rollback(spark, sf_dir):
+    """Snapshot rollback (the Iceberg ``rollback_to_snapshot`` analog),
+    oracle-gated: the two-batch store gains a row-level delete AFTER its
+    second snapshot, then rolls back to version 0 — the DEFAULT read must
+    see exactly the first batch with the delete undone. Metadata-only
+    marker surgery: the second batch's partition markers and the delete
+    op's marker are retired (blobs stay on disk for gc_store), and a
+    sealing snapshot flips readers atomically."""
+    from parzig_spark.operators import delete_rows, rollback_store
+
+    root = _two_batch_store(spark, sf_dir)
+    delete_rows(spark, root, [("doc_id", "<", 25)])
+    rollback_store(root, 0)
+    dec = decode_table(spark, root)
+    return dec.select(
+        "doc_id", "lang", "n_chars", F.sha2("text", 256).alias("text_sha")
+    )
+
+
 def q_roundtrip_lineitem_q1(spark, sf_dir):
     dec = _roundtrip(spark, sf_dir, "lineitem", ["l_returnflag", "l_linestatus"], ["l_orderkey"], sort_cols=["l_orderkey", "l_linenumber"])
     return (
@@ -1553,6 +1604,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_pushdown": q_agg_pushdown,
         "roundtrip_zorder_prune": q_roundtrip_zorder_prune,
         "upsert_merge": q_upsert_merge,
+        "store_files": q_store_files,
+        "snapshot_rollback": q_snapshot_rollback,
         "compression_summary": q_compression_summary,
         "compression_bytes": q_compression_bytes,
         "streaming_window": q_streaming_window,
@@ -1641,6 +1694,39 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                    CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
                    CAST(sum(CAST(floor(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents
             FROM merged GROUP BY 1 ORDER BY 1
+        """,
+        "store_files": """
+            SELECT col_name, n_values, n_nulls, int_sum FROM (
+                SELECT 'doc_id' AS col_name,
+                       CAST(count(*) AS BIGINT) AS n_values,
+                       CAST(count(*) - count(doc_id) AS BIGINT) AS n_nulls,
+                       CAST(sum(doc_id) AS BIGINT) AS int_sum
+                FROM documents
+                UNION ALL
+                SELECT 'lang', CAST(count(*) AS BIGINT),
+                       CAST(count(*) - count(lang) AS BIGINT),
+                       CAST(NULL AS BIGINT)
+                FROM documents
+                UNION ALL
+                SELECT 'n_chars', CAST(count(*) AS BIGINT),
+                       CAST(count(*) - count(n_chars) AS BIGINT),
+                       CAST(sum(n_chars) AS BIGINT)
+                FROM documents
+                UNION ALL
+                SELECT 'source', CAST(count(*) AS BIGINT),
+                       CAST(count(*) - count(source) AS BIGINT),
+                       CAST(NULL AS BIGINT)
+                FROM documents
+                UNION ALL
+                SELECT 'text', CAST(count(*) AS BIGINT),
+                       CAST(count(*) - count(text) AS BIGINT),
+                       CAST(NULL AS BIGINT)
+                FROM documents
+            ) ORDER BY col_name
+        """,
+        "snapshot_rollback": """
+            SELECT doc_id, lang, n_chars, sha256(text) AS text_sha
+            FROM documents WHERE lang < 'm'
         """,
         "roundtrip_lineitem_q1": """
             SELECT l_returnflag, l_linestatus,

@@ -7,6 +7,9 @@ Usage:
   spark-submit maintenance_job.py gc       <root> [min_age_s]
   spark-submit maintenance_job.py delete   <root> <column> <op> <value>
   spark-submit maintenance_job.py snapshot <root>
+  spark-submit maintenance_job.py rollback <root> <version>
+  spark-submit maintenance_job.py files    <root>
+  spark-submit maintenance_job.py snapshots <root>
 
 `delete` values parse as int → float → string; ops: == != < <= > >=
 startswith.
@@ -44,6 +47,12 @@ def main(argv: list[str]) -> int:
         path = ManifestStore(argv[1]).write_snapshot()
         print(json.dumps({"cmd": "snapshot", "path": path}))
         return 0
+    if cmd == "rollback":
+        from parzig_spark.operators import rollback_store
+
+        stats = rollback_store(argv[1], int(argv[2]))
+        print(json.dumps({"cmd": "rollback", **stats}))
+        return 0
 
     from parzig_spark.session import get_spark
 
@@ -73,6 +82,20 @@ def main(argv: list[str]) -> int:
             root, column, op, value = argv[1], argv[2], argv[3], _parse_value(argv[4])
             stats = delete_rows(spark, root, [(column, op, value)])
             print(json.dumps({"cmd": "delete", **stats}))
+            return 0
+        if cmd == "files":
+            from parzig_spark.operators import files_table
+
+            agg = files_table(spark, argv[1]).groupBy().agg(
+                {"pid": "approx_count_distinct", "enc_bytes": "sum", "n_values": "max"}
+            ).first()
+            print(json.dumps({"cmd": "files", "summary": {k: v for k, v in agg.asDict().items()}}))
+            return 0
+        if cmd == "snapshots":
+            from parzig_spark.operators import snapshots_table
+
+            rows = [r.asDict() for r in snapshots_table(spark, argv[1]).collect()]
+            print(json.dumps({"cmd": "snapshots", "snapshots": rows}))
             return 0
         print(f"unknown command {cmd!r}", file=sys.stderr)
         return 2

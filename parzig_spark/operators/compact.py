@@ -512,6 +512,11 @@ def gc_store(root: str, min_age_s: float = 0.0) -> dict:
                 stats["bytes_reclaimed"] += os.path.getsize(fp)
                 os.unlink(fp)
                 stats["old_snapshots"] += 1
+                # the delete-op sidecar travels with its snapshot
+                side = fp[: -len(".parquet")] + ".deletes.json"
+                if os.path.exists(side):
+                    stats["bytes_reclaimed"] += os.path.getsize(side)
+                    os.unlink(side)
         for f in os.listdir(snap_dir):
             if ".tmp-" in f:
                 fp = os.path.join(snap_dir, f)

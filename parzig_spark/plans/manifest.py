@@ -180,7 +180,15 @@ class ManifestStore:
         table = self._read_manifest_files()
         snap_dir = os.path.join(self.root, "snapshots")
         os.makedirs(snap_dir, exist_ok=True)
-        version = len([f for f in os.listdir(snap_dir) if f.endswith(".parquet")])
+        # max+1, NOT len(): gc_store deletes superseded snapshot files, and a
+        # len()-derived version would then sort BELOW the surviving latest —
+        # an invisible snapshot that readers never pick up.
+        existing = [
+            int(f[len("snap-"):-len(".parquet")])
+            for f in os.listdir(snap_dir)
+            if f.startswith("snap-") and f.endswith(".parquet")
+        ]
+        version = max(existing) + 1 if existing else 0
         final = os.path.join(snap_dir, f"snap-{version:06d}.parquet")
         tag = uuid.uuid4().hex[:8]
         # sidecar first, manifest parquet second: the snapshot "exists" only
@@ -356,8 +364,12 @@ class ManifestStore:
         the O(1) fast path."""
         snap = self.latest_snapshot()
         if snap is not None:
-            table = pq.read_table(snap, columns=["pid"])
-            if set(table.column("pid").to_pylist()) >= self.committed_pids():
+            # Exact-set check, not superset: a strict-superset snapshot means
+            # partitions were RETIRED since it was written (rollback_store
+            # crashed between marker removal and its sealing snapshot) —
+            # serving it would resurrect rolled-back rows. Recompacting from
+            # the markers self-heals either direction of staleness.
+            if set(pq.read_table(snap, columns=["pid"]).column("pid").to_pylist()) == self.committed_pids():
                 return snap
         return self.write_snapshot()
 
@@ -370,7 +382,8 @@ class ManifestStore:
         snap = self.latest_snapshot()
         if snap is not None:
             table = pq.read_table(snap)
-            if set(table.column("pid").to_pylist()) >= self.committed_pids():
+            # exact-set check — see fresh_snapshot for the rollback rationale
+            if set(table.column("pid").to_pylist()) == self.committed_pids():
                 return table
         return self._read_manifest_files()
 

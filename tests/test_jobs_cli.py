@@ -72,6 +72,10 @@ def test_maintenance_cli(tmp_path):
     assert gc["cmd"] == "gc"
     snap = _run(["jobs/maintenance_job.py", "snapshot", dst])
     assert os.path.exists(snap["path"])
+    snaps = _run(["jobs/maintenance_job.py", "snapshots", dst])
+    latest = max(s["version"] for s in snaps["snapshots"])
+    rb = _run(["jobs/maintenance_job.py", "rollback", dst, str(latest)])
+    assert rb["retired_partitions"] == 0  # target is already the current view
 
 
 def test_spark_submit_pyfiles_deploy(tmp_path):

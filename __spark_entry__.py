@@ -548,6 +548,23 @@ def q_time_travel(spark, sf_dir):
     )
 
 
+def q_snapshot_ref(spark, sf_dir):
+    """Named refs (tags/branches) + their GC pin, oracle-gated (the Iceberg
+    ``VERSION AS OF 'tag'`` / refs-aware ``expire_snapshots`` analog): the
+    first batch's snapshot is tagged, ``gc_store`` then runs — which would
+    reclaim that superseded snapshot without the tag — and reading the
+    store BY NAME must still see exactly the first batch, bit-identical."""
+    from parzig_spark.operators import create_ref, gc_store
+
+    root = _two_batch_store(spark, sf_dir)
+    create_ref(root, "audit", kind="tag", version=0)
+    gc_store(root)  # the tag is what keeps snapshot 0 readable past this
+    dec = decode_table(spark, root, ref="audit")
+    return dec.select(
+        "doc_id", "lang", "n_chars", F.sha2("text", 256).alias("text_sha")
+    )
+
+
 def q_incremental_read(spark, sf_dir):
     """Incremental (CDC-style) read, oracle-gated: partitions committed
     AFTER snapshot version 0 are exactly the second batch — the append-scan
@@ -1584,6 +1601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_documents": q_roundtrip_documents,
         "roundtrip_compacted": q_roundtrip_compacted,
         "time_travel": q_time_travel,
+        "snapshot_ref": q_snapshot_ref,
         "incremental_read": q_incremental_read,
         "add_column_backfill": q_add_column_backfill,
         "delete_rows_mor": q_delete_rows,
@@ -1659,6 +1677,10 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
             FROM documents
         """,
         "time_travel": """
+            SELECT doc_id, lang, n_chars, sha256(text) AS text_sha
+            FROM documents WHERE lang < 'm'
+        """,
+        "snapshot_ref": """
             SELECT doc_id, lang, n_chars, sha256(text) AS text_sha
             FROM documents WHERE lang < 'm'
         """,

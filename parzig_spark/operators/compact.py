@@ -419,6 +419,25 @@ def gc_store(root: str, min_age_s: float = 0.0) -> dict:
     """
     store = ManifestStore(root)
     committed = store.committed_pids()
+    # Refs pin liveness (Iceberg expire_snapshots semantics): a tagged or
+    # branched snapshot version keeps its snapshot file AND every artifact
+    # it references — partitions (blob dir + manifest) and delete ops —
+    # alive until the ref is dropped, even when the head view has retired
+    # them (rollback/compaction). Plain time-travel reads of UNPINNED old
+    # versions remain best-effort-until-gc, as documented.
+    from .refs import pinned_versions
+
+    pinned = pinned_versions(root)
+    live_pids = set(committed)
+    live_ops = set(store.committed_delete_ops())
+    for version in pinned:
+        try:
+            live_pids |= store.snapshot_pids(version)
+            live_ops |= set(store.snapshot_delete_ops(version))
+        except ValueError:
+            # ref at an already-reclaimed snapshot (pre-refs gc): nothing
+            # left to pin — the ref is dangling and harmless
+            pass
     now = time.time()
     stats = {
         "orphan_dirs": 0,
@@ -448,7 +467,7 @@ def gc_store(root: str, min_age_s: float = 0.0) -> dict:
     if os.path.isdir(store.blob_dir):
         for entry in os.listdir(store.blob_dir):
             p = os.path.join(store.blob_dir, entry)
-            if entry.isdigit() and int(entry) not in committed:
+            if entry.isdigit() and int(entry) not in live_pids:
                 if old_enough(p):
                     stats["bytes_reclaimed"] += tree_bytes(p)
                     shutil.rmtree(p, ignore_errors=True)
@@ -473,7 +492,7 @@ def gc_store(root: str, min_age_s: float = 0.0) -> dict:
                     stats["tmp_files"] += 1
             elif f.startswith("part-") and f.endswith(".parquet"):
                 pid = int(f[len("part-") : -len(".parquet")])
-                if pid not in committed and old_enough(fp):
+                if pid not in live_pids and old_enough(fp):
                     stats["bytes_reclaimed"] += os.path.getsize(fp)
                     os.unlink(fp)
                     stats["orphan_manifests"] += 1
@@ -483,12 +502,11 @@ def gc_store(root: str, min_age_s: float = 0.0) -> dict:
     # unmarked op dir was never observable by any reader
     del_dir = store.deletes_dir()
     if os.path.isdir(del_dir):
-        committed_ops = set(store.committed_delete_ops())
         for entry in os.listdir(del_dir):
             p = os.path.join(del_dir, entry)
             if entry.startswith("_committed_"):
                 continue
-            if os.path.isdir(p) and entry not in committed_ops:
+            if os.path.isdir(p) and entry not in live_ops:
                 if old_enough(p):
                     stats["bytes_reclaimed"] += tree_bytes(p)
                     shutil.rmtree(p, ignore_errors=True)
@@ -507,6 +525,8 @@ def gc_store(root: str, min_age_s: float = 0.0) -> dict:
     if os.path.isdir(snap_dir):
         snaps = sorted(f for f in os.listdir(snap_dir) if f.endswith(".parquet"))
         for f in snaps[:-1]:
+            if int(f[len("snap-"):-len(".parquet")]) in pinned:
+                continue  # ref-pinned snapshot: live until the ref drops
             fp = os.path.join(snap_dir, f)
             if old_enough(fp):
                 stats["bytes_reclaimed"] += os.path.getsize(fp)

@@ -480,6 +480,7 @@ def decode_table(
     since_snapshot: int | None = None,
     pids: "DataFrame | list[int] | None" = None,
     include_pid_pos: bool = False,
+    ref: str | None = None,
 ) -> DataFrame:
     """Decode committed partitions; returns the reconstructed DataFrame.
 
@@ -515,9 +516,21 @@ def decode_table(
     append-scan analog — the CDC feed a downstream consumer tails without
     rescanning the store). Combine with ``snapshot`` to bound both ends
     (partitions in ``snapshot`` but not in ``since_snapshot``).
+
+    ``ref`` reads at a NAMED snapshot (a tag or branch created by
+    ``operators.refs.create_ref`` — the Iceberg ``VERSION AS OF 'name'``
+    analog): it resolves to that ref's pinned version and then behaves
+    exactly like ``snapshot=``. Unknown names raise (never a silent
+    fallback to head). Mutually exclusive with ``snapshot``.
     """
     store = ManifestStore(store_root)
     store.check_format()
+    if ref is not None:
+        if snapshot is not None:
+            raise ValueError("pass either ref= or snapshot=, not both")
+        from .refs import resolve_ref
+
+        snapshot = resolve_ref(store_root, ref)
     cols, ddl, casts = decoded_schema(store, columns)
     if include_pid_pos:
         ddl = f"{ddl}, _pid long, _pos long"

@@ -59,15 +59,25 @@ SNAPSHOTS_DDL = (
 
 
 def files_table(
-    spark: SparkSession, root: str, snapshot: int | None = None
+    spark: SparkSession,
+    root: str,
+    snapshot: int | None = None,
+    ref: str | None = None,
 ) -> DataFrame:
     """One row per (partition, column) blob — the ``table.files`` metadata
-    view. ``snapshot`` pins the listing to a historical version (the same
-    handle ``decode_table`` takes). Heavy internals (codec meta JSON,
-    selector lineage, bloom bitmaps) are deliberately excluded; query the
-    snapshot parquet directly when debugging those."""
+    view. ``snapshot`` pins the listing to a historical version; ``ref``
+    to a named tag/branch (the same handles ``decode_table`` takes). Heavy
+    internals (codec meta JSON, selector lineage, bloom bitmaps) are
+    deliberately excluded; query the snapshot parquet directly when
+    debugging those."""
     store = ManifestStore(root)
     store.check_format()
+    if ref is not None:
+        if snapshot is not None:
+            raise ValueError("pass either ref= or snapshot=, not both")
+        from .refs import resolve_ref
+
+        snapshot = resolve_ref(root, ref)
     snap = (
         store.snapshot_path(snapshot)
         if snapshot is not None

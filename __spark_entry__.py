@@ -1108,6 +1108,63 @@ def q_agg_pushdown(spark, sf_dir):
     )
 
 
+def q_agg_distinct(spark, sf_dir):
+    """Metadata-only COUNT(DISTINCT) pushdown, oracle-gated (the exact
+    dual of Iceberg's approximate NDV partition stats): documents encode
+    banded by doc_id (~64 ids per band, so even doc_id's per-partition
+    distinct set fits the v7 cap); under a band-straddling predicate the
+    fully-covered bands contribute their EXACT stat_distinct sets by pure
+    set union — zero blobs opened — the straddled band decodes, and the
+    combined COUNT(DISTINCT)s (low-card lang/source AND the high-card-
+    per-store doc_id) must hash-match DuckDB counting raw rows. Any
+    double-count across the metadata/decode halves or a canonicalization
+    mismatch shows up as a value mismatch."""
+    from parzig_spark.operators import aggregate_store
+
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "id_band", (F.col("doc_id") / 64).cast("int")
+    )
+    root = tempfile.mkdtemp(prefix="parzig_aggdist_")
+    # 16 KiB partitions: even the sf0.01 oracle corpus (~150 KiB of text)
+    # spreads over ~10 partitions, so the driver's gate actually exercises
+    # pruned + metadata-covered + decoded bands, not one trivial decode
+    encode_table(
+        src, root, group_cols=["id_band"], salt_cols=["doc_id"],
+        size_col="text", target_bytes=16 << 10, resume=False,
+    ).count()
+    return aggregate_store(
+        spark, root,
+        [("count", "*"), ("distinct", "lang"), ("distinct", "source"),
+         ("distinct", "doc_id"), ("sum", "n_chars")],
+        predicates=[("doc_id", "<=", 300)],
+    )
+
+
+def q_agg_groupby(spark, sf_dir):
+    """Partition-aligned GROUP BY rollup, oracle-gated (the Hive/Iceberg
+    partition-column aggregate analog): documents encode with group_cols
+    = lang, so pure partitions are provably single-valued on lang via
+    their stat_distinct sets (size-1 + null-free) and contribute their
+    stats to that group's row WITHOUT decoding — count/sum from exact
+    manifest stats, COUNT(DISTINCT source) from per-partition set union —
+    while hash-packed mixed partitions decode. The combined per-group
+    rows must hash-match DuckDB grouping raw rows; a partition assigned
+    to the wrong group or double-counted shows up as a value mismatch."""
+    from parzig_spark.operators import aggregate_store
+
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    root = tempfile.mkdtemp(prefix="parzig_agggrp_")
+    encode_table(
+        src, root, group_cols=["lang"], salt_cols=["doc_id"],
+        size_col="text", target_bytes=16 << 10, resume=False,
+    ).count()
+    return aggregate_store(
+        spark, root,
+        [("count", "*"), ("sum", "n_chars"), ("distinct", "source")],
+        group_by=["lang"],
+    )
+
+
 def q_roundtrip_pruned_prefix(spark, sf_dir):
     """String RANGE + PREFIX partition pruning, oracle-gated: documents are
     encoded bucketed by source (src0..src19), then decoded under a
@@ -1620,6 +1677,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_bloom_prune": q_roundtrip_bloom_prune,
         "roundtrip_in_prune": q_roundtrip_in_prune,
         "agg_pushdown": q_agg_pushdown,
+        "agg_distinct": q_agg_distinct,
+        "agg_groupby": q_agg_groupby,
         "roundtrip_zorder_prune": q_roundtrip_zorder_prune,
         "upsert_merge": q_upsert_merge,
         "store_files": q_store_files,
@@ -1852,6 +1911,21 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                    min(o_orderkey) AS min_o_orderkey,
                    max(o_orderkey) AS max_o_orderkey
             FROM orders WHERE o_orderkey <= 30000
+        """,
+        "agg_distinct": """
+            SELECT CAST(count(*) AS BIGINT) AS count_star,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS distinct_lang,
+                   CAST(count(DISTINCT source) AS BIGINT) AS distinct_source,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS distinct_doc_id,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+            FROM documents WHERE doc_id <= 300
+        """,
+        "agg_groupby": """
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS count_star,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+                   CAST(count(DISTINCT source) AS BIGINT) AS distinct_source
+            FROM documents GROUP BY lang ORDER BY lang
         """,
         "roundtrip_zorder_prune": """
             SELECT o_orderkey, o_custkey,

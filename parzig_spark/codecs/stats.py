@@ -188,6 +188,72 @@ def string_upper_bound(s: str, limit: int = STR_STAT_CHARS) -> str | None:
     return increment_string(s[:limit])
 
 
+DISTINCT_CAP = 64
+DISTINCT_MAX_CHARS = 64
+DISTINCT_MAX_JSON = 4096
+
+
+def column_distinct(arr: pa.Array) -> str | None:
+    """Capped EXACT distinct-value set for one partition's column — JSON
+    ``{"d": "i64"|"str", "v": [canonical strings, sorted]}`` (the Iceberg
+    partition-stats / NDV-sketch analog, but exact rather than
+    approximate).
+
+    Recorded only when the column is integer-typed or string-typed AND the
+    partition holds at most ``DISTINCT_CAP`` distinct non-null values, each
+    ≤ ``DISTINCT_MAX_CHARS`` chars, total JSON ≤ ``DISTINCT_MAX_JSON`` —
+    low-cardinality columns (enums, categories, language tags, status
+    codes) where the set is tiny and worth its manifest bytes. Integers
+    canonicalize as decimal strings (exact for every integer lane incl.
+    uint64); strings are stored verbatim. An all-null or empty partition
+    records an empty ``v`` — itself an exact (empty) set, which lets
+    equality predicates prune partitions min/max stats cannot (their
+    bounds are null there). The ``d`` domain tag lets readers refuse a
+    cross-type comparison instead of trusting a lossy coercion.
+
+    Unlike the bloom (false positives) and the truncated string bounds
+    (sound but inexact), this set is EXACT, so it supports membership
+    proofs in BOTH directions: exclusion (value not in set → prune,
+    decode.prune_manifests) and inclusion (every set value satisfies the
+    predicate → partition fully covered), plus exact COUNT(DISTINCT) by
+    unioning sets across partitions (operators/aggregate.py). None =
+    unknown (high cardinality or ineligible type); readers must stay
+    conservative."""
+    import json
+
+    t = arr.type
+    is_str = pa.types.is_string(t) or pa.types.is_large_string(t)
+    if not (is_str or pa.types.is_integer(t)):
+        return None
+    dom = "str" if is_str else "i64"
+    a = arr.drop_null() if arr.null_count else arr
+    if len(a) == 0:
+        return json.dumps({"d": dom, "v": []}, separators=(",", ":"))
+    # Chunked early-bail: almost every high-cardinality column reveals
+    # itself in the first few thousand values — never pay a full-column
+    # hash pass (it showed up as a multi-second encode regression on the
+    # document text column) just to learn the set is over cap. Low-
+    # cardinality columns still take one full pass (the set must be exact
+    # over every value), which is the same order of work their dict
+    # encoding already does.
+    seen: set = set()
+    pos, chunk = 0, 4096
+    while pos < len(a):
+        sl = a.slice(pos, chunk)
+        for v in pa.compute.unique(sl).to_pylist():
+            s = str(v)
+            if is_str and len(s) > DISTINCT_MAX_CHARS:
+                return None
+            seen.add(s)
+            if len(seen) > DISTINCT_CAP:
+                return None
+        pos += chunk
+        chunk = 65536
+    vals = sorted(seen)
+    out = json.dumps({"d": dom, "v": vals}, ensure_ascii=False, separators=(",", ":"))
+    return out if len(out) <= DISTINCT_MAX_JSON else None
+
+
 def column_agg_stats(arr: pa.Array) -> tuple[str | None, int]:
     """Exact per-partition aggregate stats for metadata-only queries
     (the Parquet footer / Iceberg partition-stats aggregate-pushdown

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from ..plans.manifest import ManifestStore
 from .decode import (
+    _DISTINCT_DDL,
     _arrow_target_type,
     _inclusion_condition,
     _spark_type,
@@ -41,7 +42,7 @@ from .decode import (
     prune_manifests,
 )
 
-_FNS = ("count", "sum", "min", "max", "null_count")
+_FNS = ("count", "sum", "min", "max", "null_count", "distinct")
 
 
 def _column_kinds(store: ManifestStore) -> tuple[dict[str, str], dict[str, str]]:
@@ -82,6 +83,7 @@ def aggregate_store(
     aggs: list[tuple],
     predicates: list[tuple] | None = None,
     return_plan: bool = False,
+    group_by: list[str] | None = None,
 ):
     """Aggregate over an encoded store, answering from manifest stats
     wherever provably exact and decoding only the partitions that need it.
@@ -99,7 +101,29 @@ def aggregate_store(
     sum/min/max are metadata-eligible on integer-lane columns only (their
     stats are exact decimal strings; float sums are order-dependent and
     string bounds truncated) — requesting them on other types simply runs
-    the whole query through the decode path, predicates still pruning."""
+    the whole query through the decode path, predicates still pruning.
+
+    ``("distinct", col)`` is COUNT(DISTINCT col): on integer/string
+    columns the per-partition EXACT distinct sets (stat_distinct, manifest
+    v7) are unioned for every fully-covered partition that recorded one —
+    a low-cardinality COUNT(DISTINCT) over the whole store is a
+    metadata-scale set union, zero blobs opened — and only set-less /
+    partial / delete-touched partitions decode; the two value streams
+    union before the final count, so overlap between halves never double
+    counts. Other types fall to the decode path whole (canonicalizing
+    floats through strings is lossy — -0.0/0.0 — so no set is ever
+    recorded for them).
+
+    ``group_by`` turns the answer into one row per group (SQL GROUP BY
+    semantics, null groups included) — the partition-aligned rollup: a
+    partition whose stat_distinct set for every group column has exactly
+    ONE value (and no nulls) belongs wholly to that group, so its stats
+    contribute to that group's row without decoding. Stores encoded with
+    ``group_cols`` matching the query's GROUP BY — the natural layout —
+    answer the whole rollup at metadata scale, exactly like a Hive/Iceberg
+    partition-column aggregate; mixed-group partitions decode. Group
+    columns must be integer/string typed to be metadata-eligible (others
+    run decode-only, still pruned)."""
     for fn, col in aggs:
         if fn not in _FNS:
             raise ValueError(f"unsupported aggregate fn: {fn!r}")
@@ -111,20 +135,26 @@ def aggregate_store(
     for fn, col in aggs:
         if col != "*" and col not in kinds:
             raise ValueError(f"unknown column {col!r} in {store_root}")
+    for g in group_by or []:
+        if g not in kinds:
+            raise ValueError(f"unknown group column {g!r} in {store_root}")
     ref_col = next(iter(kinds))  # any column: one manifest row per (pid, col)
 
     # every agg must be metadata-computable, else the metadata half would
     # be missing fields — fall back to decoding everything (still pruned)
     meta_capable = all(
-        fn in ("count", "null_count") or kinds.get(col) == "int"
+        fn in ("count", "null_count")
+        or (fn == "distinct" and kinds.get(col) in ("int", "str"))
+        or (fn != "distinct" and kinds.get(col) == "int")
         for fn, col in aggs
         if col != "*"
-    )
+    ) and all(kinds.get(g) in ("int", "str") for g in group_by or [])
 
     snap = store.fresh_snapshot()
     manifests = spark.read.parquet(snap).select(
         "pid", "column", "n_values", "stat_min", "stat_max",
         "stat_bloom", "stat_bloom_dom", "stat_sum", "stat_nulls",
+        "stat_distinct",
     )
     if predicates:
         manifests = prune_manifests(manifests, predicates)
@@ -142,7 +172,9 @@ def aggregate_store(
     elif predicates:
         flags = []
         for i, (col_name, op, val) in enumerate(predicates):
-            incl = _inclusion_condition(op, val, kinds.get(col_name, "other"))
+            incl = _inclusion_condition(
+                op, val, kinds.get(col_name, "other"), has_distinct=True
+            )
             flags.append(
                 F.max(
                     F.when(
@@ -160,7 +192,8 @@ def aggregate_store(
         full_pids = per_pid.filter(cond).select("pid")
     else:
         full_pids = manifests.select("pid").distinct()
-    # sum-eligibility per pid: stat_sum present (or the column all-null)
+    # sum-eligibility per pid: stat_sum present (or the column all-null);
+    # distinct-eligibility: the exact set must be recorded for the column
     for fn, col in aggs:
         if fn == "sum":
             ok = manifests.filter(
@@ -168,6 +201,24 @@ def aggregate_store(
                 & (F.col("stat_sum").isNotNull() | (F.col("stat_nulls") == F.col("n_values")))
             ).select("pid")
             full_pids = full_pids.join(ok, on="pid", how="left_semi")
+        elif fn == "distinct" and kinds.get(col) in ("int", "str"):
+            ok = manifests.filter(
+                (F.col("column") == col) & F.col("stat_distinct").isNotNull()
+            ).select("pid")
+            full_pids = full_pids.join(ok, on="pid", how="left_semi")
+    # group-eligibility: a partition is metadata-answerable under GROUP BY
+    # only when every group column is provably SINGLE-valued and null-free
+    # there — the whole partition then belongs to one group (the Hive
+    # partition-column case; stores encoded with group_cols matching the
+    # GROUP BY satisfy this for every pure partition)
+    for g in group_by or []:
+        ok = manifests.filter(
+            (F.col("column") == g)
+            & (F.col("stat_nulls") == 0)
+            & F.col("stat_distinct").isNotNull()
+            & (F.size(F.from_json("stat_distinct", _DISTINCT_DDL)["v"]) == 1)
+        ).select("pid")
+        full_pids = full_pids.join(ok, on="pid", how="left_semi")
     if delete_df is not None:
         full_pids = full_pids.join(F.broadcast(delete_df), "pid", "left_anti")
     partial_pids = manifests.select("pid").distinct().join(
@@ -176,8 +227,26 @@ def aggregate_store(
 
     # ---- metadata half -----------------------------------------------------
     meta_rows = manifests.join(full_pids, on="pid", how="left_semi")
+    if group_by:
+        # pid -> group key, read from the single-valued stat_distinct set
+        # (cast back from the canonical string to the column's own type);
+        # every full pid has exactly one value per group column by the
+        # eligibility join above
+        key_df = None
+        for g in group_by:
+            kg = meta_rows.filter(
+                (F.col("column") == g) & F.col("stat_distinct").isNotNull()
+            ).select(
+                "pid",
+                F.element_at(F.from_json("stat_distinct", _DISTINCT_DDL)["v"], 1)
+                .cast(sql_types[g]).alias(g),
+            )
+            key_df = kg if key_df is None else key_df.join(kg, "pid")
+        meta_rows = meta_rows.join(key_df, "pid")
+    scalar = [(fn, c) for fn, c in aggs if fn != "distinct"]
+    dist_cols = [c for fn, c in aggs if fn == "distinct"]
     meta_aggs, dec_aggs = [], []
-    for fn, col in aggs:
+    for fn, col in scalar:
         name = _out_name(fn, col)
         if (fn, col) == ("count", "*"):
             meta_aggs.append(
@@ -247,33 +316,113 @@ def aggregate_store(
             else:
                 meta_aggs.append(F.lit(None).cast(sql_types[col]).alias(name))
                 dec_aggs.append(F.max(F.col(col)).alias(name))
-    meta_half = meta_rows.agg(*meta_aggs)
-
     # ---- decode half (partial + delete-touched partitions only) ------------
     needed = sorted(
-        {c for _, c in aggs if c != "*"} | {c for c, _, _ in (predicates or [])}
+        {c for _, c in aggs if c != "*"}
+        | {c for c, _, _ in (predicates or [])}
+        | set(group_by or [])
     ) or [ref_col]
     dec = decode_table(
         spark, store_root, columns=needed, predicates=predicates, pids=partial_pids
     )
     if predicates:
         dec = dec.filter(predicate_expr(predicates))
-    dec_half = dec.agg(*dec_aggs)
 
     # ---- combine (sum counts/sums, min mins, max maxes — nulls ignored) ----
-    combo = []
-    for fn, col in aggs:
-        name = _out_name(fn, col)
-        if fn in ("count", "sum", "null_count"):
-            e = F.sum(F.col(name)).cast("long")
-            if fn != "sum":
-                e = F.coalesce(e, F.lit(0).cast("long"))
-        elif fn == "min":
-            e = F.min(F.col(name))
+    out = None
+    if scalar:
+        if group_by:
+            meta_half = meta_rows.groupBy(*group_by).agg(*meta_aggs)
+            dec_half = dec.groupBy(*group_by).agg(*dec_aggs)
         else:
-            e = F.max(F.col(name))
-        combo.append(e.alias(name))
-    out = meta_half.unionByName(dec_half).agg(*combo)
+            meta_half = meta_rows.agg(*meta_aggs)
+            dec_half = dec.agg(*dec_aggs)
+        combo = []
+        for fn, col in scalar:
+            name = _out_name(fn, col)
+            if fn in ("count", "sum", "null_count"):
+                e = F.sum(F.col(name)).cast("long")
+                if fn != "sum":
+                    e = F.coalesce(e, F.lit(0).cast("long"))
+            elif fn == "min":
+                e = F.min(F.col(name))
+            else:
+                e = F.max(F.col(name))
+            combo.append(e.alias(name))
+        both = meta_half.unionByName(dec_half)
+        if group_by:
+            out = both.groupBy(*group_by).agg(*combo)
+        else:
+            out = both.agg(*combo)
+
+    # ---- COUNT(DISTINCT): union the exact sets of fully-covered partitions
+    # with the decoded partitions' values, then count — set semantics make
+    # the overlap between halves harmless, and every half is either
+    # metadata-scale (exploded JSON sets) or already-decoded rows
+    gcols = list(group_by or [])
+    dist_names_done: list[str] = []
+    for col in dist_cols:
+        name = _out_name("distinct", col)
+        if kinds[col] in ("int", "str"):
+            vals_meta = meta_rows.filter(
+                (F.col("column") == col) & F.col("stat_distinct").isNotNull()
+            ).select(
+                *gcols,
+                F.explode(F.from_json("stat_distinct", _DISTINCT_DDL)["v"]).alias("_v"),
+            )
+            # canonical twin of codecs.stats.column_distinct: integers as
+            # decimal strings (Spark's integral cast-to-string), strings
+            # verbatim — the decoded stream must speak the set's encoding
+            vals_dec = dec.filter(F.col(col).isNotNull()).select(
+                *gcols, F.col(col).cast("string").alias("_v")
+            )
+            u = vals_meta.unionByName(vals_dec)
+        else:
+            # no sets recorded for this type (lossy canonicalization) —
+            # meta_capable forced the whole store through the decode path,
+            # so dec holds every surviving row; count natively
+            u = dec.filter(F.col(col).isNotNull()).select(
+                *gcols, F.col(col).alias("_v")
+            )
+        if not gcols:
+            piece = u.agg(F.countDistinct("_v").cast("long").alias(name))
+            out = piece if out is None else out.crossJoin(piece)
+            continue
+        piece = u.groupBy(*gcols).agg(
+            F.countDistinct("_v").cast("long").alias(name)
+        )
+        if out is None:
+            out = piece
+            dist_names_done.append(name)
+            continue
+        # null-safe group join via the struct trick (plain on=[cols] joins
+        # drop NULL groups); a group with no non-null values is a 0 count —
+        # including EARLIER pieces' counts for a group this piece
+        # introduces (possible only when every agg is a distinct, so every
+        # lhs agg column is itself a distinct count)
+        lhs = out.withColumn("_gkey", F.struct(*[F.col(g) for g in gcols]))
+        rhs = piece.withColumn(
+            "_gkey", F.struct(*[F.col(g) for g in gcols])
+        ).drop(*gcols)
+        carried = [
+            F.coalesce(F.col(c), F.lit(0).cast("long")).alias(c)
+            if c in dist_names_done
+            else F.col(c)
+            for c in lhs.columns
+            if c not in gcols and c != "_gkey"
+        ]
+        out = (
+            lhs.join(rhs, "_gkey", "full_outer")
+            .select(
+                *[F.col("_gkey")[g].alias(g) for g in gcols],
+                *carried,
+                F.coalesce(F.col(name), F.lit(0).cast("long")).alias(name),
+            )
+        )
+        dist_names_done.append(name)
+    if dist_cols or group_by:
+        order = gcols + [_out_name(fn, c) for fn, c in aggs]
+        out = out.select(*order)
 
     if not return_plan:
         return out

@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..codecs import decode_column, encode_column
 from ..plans.manifest import FORMAT_VERSION, ManifestStore
-from .encode import SUMMARY_SCHEMA, column_agg_stats, column_bloom, column_digest, column_minmax
+from .encode import SUMMARY_SCHEMA, column_agg_stats, column_bloom, column_digest, column_distinct, column_minmax
 
 
 def _dst_pid(src_pids: list[int]) -> int:
@@ -331,6 +331,7 @@ def compact_store(
                         smin, smax = column_minmax(arr)
                         sbloom, sbloom_dom = column_bloom(arr)
                         ssum, snulls = column_agg_stats(arr)
+                        sdistinct = column_distinct(arr)
                         blobs[name] = blob
                         rows.append(
                             {
@@ -340,6 +341,7 @@ def compact_store(
                                 "stat_bloom_dom": sbloom_dom,
                                 "stat_sum": ssum,
                                 "stat_nulls": snulls,
+                                "stat_distinct": sdistinct,
                                 "pid": new_pid,
                                 "column": name,
                                 "codec": codec,

@@ -245,12 +245,155 @@ def _exclusion_condition(op: str, val) -> "F.Column":
     raise ValueError(f"unsupported predicate op: {op}")
 
 
-def _inclusion_condition(op: str, val, kind: str) -> "F.Column":
+# Parsed shape of the stat_distinct JSON (codecs/stats.py column_distinct):
+# a domain tag + the partition's exact sorted distinct values as canonical
+# strings. All consumers parse with from_json — pure Catalyst, metadata
+# scale (one short row per partition×column).
+_DISTINCT_DDL = "struct<d:string,v:array<string>>"
+
+
+def _distinct_canon(val) -> tuple[str, str] | None:
+    """(domain, canonical string) for a predicate literal, or None when the
+    value cannot be matched against a stored set without a lossy coercion
+    (bool, non-integral float, float beyond exact-int range) — callers must
+    then fall back to the min/max/bloom paths (conservative, never wrong)."""
+    if isinstance(val, bool):
+        return None
+    if isinstance(val, str):
+        return "str", val
+    if isinstance(val, int):
+        return "i64", str(val)
+    if isinstance(val, float) and float(val).is_integer() and abs(val) <= 2**53:
+        return "i64", str(int(val))
+    return None
+
+
+def _distinct_exclusion(op: str, val) -> "F.Column | None":
+    """Manifest condition under which the EXACT distinct set proves no row
+    can satisfy `op val` — sharper than both min/max (range-only) and the
+    bloom (false positives): membership here is exact in both directions.
+    None = this op/value pair can't use the set (callers skip the clause).
+
+    The domain tag guard (``d == domain``) refuses cross-type comparisons
+    (an int literal against a string column's set) instead of trusting
+    Spark's implicit casts to agree with the canonical encoding."""
+    s = F.from_json(F.col("stat_distinct"), _DISTINCT_DDL)
+    d, v = s["d"], s["v"]
+    base = F.col("stat_distinct").isNotNull()
+    # an EMPTY set (all-null partition) excludes every op below: NULL rows
+    # satisfy neither equality, ranges, prefixes, nor != (SQL three-valued
+    # logic) — and min/max can't prune these (their bounds are null)
+    empty = F.size(v) == 0
+    if op in ("==", "="):
+        ck = _distinct_canon(val)
+        if ck is None:
+            return base & empty
+        return base & (empty | ((d == ck[0]) & ~F.array_contains(v, ck[1])))
+    if op == "in":
+        vals = list(val)
+        if not vals:
+            return None  # min/max path already excludes the empty IN
+        conds = [_distinct_exclusion("==", v2) for v2 in vals]
+        out = F.lit(True)
+        for c in conds:
+            out = out & c  # every listed value provably absent
+        return base & out
+    if op == "!=":
+        ck = _distinct_canon(val)
+        pinned = F.lit(False)
+        if ck is not None:
+            # every non-null row equals val -> no row satisfies !=
+            pinned = (F.size(v) == 1) & (d == ck[0]) & (v[0] == ck[1])
+        return base & (empty | pinned)
+    if op in ("startswith", "like_prefix"):
+        if not isinstance(val, str):
+            return base & empty
+        return base & (
+            empty | ((d == "str") & ~F.exists(v, lambda x: x.startswith(val)))
+        )
+    if op in ("<", "<=", ">", ">="):
+        # string ranges: set values are EXACT (the 16-char truncated bounds
+        # are not), so "no element satisfies" is a sound exclusion; integer
+        # ranges are already exact via min/max — the empty-set clause is
+        # still worth it there (null bounds prune nothing)
+        if not isinstance(val, str):
+            return base & empty
+        ops = {
+            "<": lambda x: x < F.lit(val),
+            "<=": lambda x: x <= F.lit(val),
+            ">": lambda x: x > F.lit(val),
+            ">=": lambda x: x >= F.lit(val),
+        }
+        return base & (empty | ((d == "str") & ~F.exists(v, ops[op])))
+    return None
+
+
+def _distinct_inclusion(op: str, val) -> "F.Column":
+    """Dual of :func:`_distinct_exclusion`: the EXACT set proves every
+    non-null row satisfies `op val` (``forall`` over the set). This is what
+    makes multi-valued partitions fully coverable under equality/IN/prefix
+    predicates on STRING columns — min/max can only pin single-valued ones
+    (lo == hi) there. ``forall`` over an empty set is True: a partition
+    with no non-null rows is trivially covered (with the caller's
+    stat_nulls == 0 guard that means zero rows — a zero contribution
+    either way). F.lit(False) = unprovable here (caller falls back to the
+    min/max proof or the decode path)."""
+    s = F.from_json(F.col("stat_distinct"), _DISTINCT_DDL)
+    d, v = s["d"], s["v"]
+    base = F.col("stat_distinct").isNotNull()
+    if op in ("==", "="):
+        ck = _distinct_canon(val)
+        if ck is None:
+            return F.lit(False)
+        return base & (d == ck[0]) & F.forall(v, lambda x: x == F.lit(ck[1]))
+    if op == "in":
+        vals = list(val)
+        strs = [x for x in vals if isinstance(x, str)]
+        ints = [
+            str(int(x))
+            for x in vals
+            if (isinstance(x, int) and not isinstance(x, bool))
+            or (isinstance(x, float) and float(x).is_integer() and abs(x) <= 2**53)
+        ]
+        out = F.size(v) == 0  # empty set: covered under either domain
+        if strs:
+            out = out | ((d == "str") & F.forall(v, lambda x: x.isin(strs)))
+        if ints:
+            out = out | ((d == "i64") & F.forall(v, lambda x: x.isin(ints)))
+        return base & out
+    if op == "!=":
+        ck = _distinct_canon(val)
+        if ck is None:
+            return F.lit(False)
+        # exact absence -> every non-null row differs (min/max can only
+        # prove this when the whole range clears the value)
+        return base & (d == ck[0]) & ~F.array_contains(v, ck[1])
+    if not isinstance(val, str):
+        return F.lit(False)
+    if op in ("startswith", "like_prefix"):
+        return base & (d == "str") & F.forall(v, lambda x: x.startswith(val))
+    if op in ("<", "<=", ">", ">="):
+        ops = {
+            "<": lambda x: x < F.lit(val),
+            "<=": lambda x: x <= F.lit(val),
+            ">": lambda x: x > F.lit(val),
+            ">=": lambda x: x >= F.lit(val),
+        }
+        return base & (d == "str") & F.forall(v, ops[op])
+    return F.lit(False)
+
+
+def _inclusion_condition(op: str, val, kind: str, has_distinct: bool = False) -> "F.Column":
     """Manifest-stats condition under which EVERY non-null row of the
     partition PROVABLY satisfies `op val` — the dual of
     :func:`_exclusion_condition`, used by aggregate_store to answer
     aggregates from metadata alone (a partition is metadata-eligible only
     when no row-level filtering could change its contribution).
+
+    With ``has_distinct`` (the caller's projection carries
+    ``stat_distinct``), the exact-set proof of :func:`_distinct_inclusion`
+    is OR-ed in — it covers cases the envelope never can (multi-valued
+    string partitions under equality/IN, exact ``!=`` absence).
 
     ``kind`` is the column's storage lane ("int", "str", or "other"),
     resolved driver-side from the manifest meta: integer stats strings are
@@ -260,6 +403,14 @@ def _inclusion_condition(op: str, val, kind: str) -> "F.Column":
     fits untruncated) and the prefix interval are usable; anything else
     conservatively proves nothing (False keeps the partition on the decode
     path — never wrong, only slower)."""
+    env = _envelope_inclusion(op, val, kind)
+    if has_distinct:
+        return env | _distinct_inclusion(op, val)
+    return env
+
+
+def _envelope_inclusion(op: str, val, kind: str) -> "F.Column":
+    """The min/max-envelope half of :func:`_inclusion_condition`."""
     if kind == "int":
         numeric = isinstance(val, (int, float)) and not isinstance(val, bool)
         if not numeric:
@@ -426,12 +577,24 @@ def prune_manifests(manifests: DataFrame, predicates) -> DataFrame:
     partitions that can actually contain the value, where every min/max
     envelope spans the domain and prunes nothing.
 
+    Where the projection carries ``stat_distinct`` (manifest v7), the
+    partition's EXACT distinct-value set is consulted first-class: equality
+    / IN / ``!=`` / prefix / string-range predicates prune on exact
+    membership — no bloom false positives, no truncation slack — and
+    all-null partitions (null min/max, no bloom) prune via the empty set.
+    Pure Catalyst (from_json + array ops), unlike the bloom's Python probe.
+
     Partition-granular: surviving partitions are decoded WHOLE, so callers
     still apply the row-level filter afterwards. Missing stats keep the
     partition (never unsound)."""
     has_bloom = "stat_bloom" in manifests.columns
+    has_distinct = "stat_distinct" in manifests.columns
     for col_name, op, val in predicates:
         cond = F.col("stat_min").isNotNull() & _exclusion_condition(op, val)
+        if has_distinct:
+            dcond = _distinct_exclusion(op, val)
+            if dcond is not None:
+                cond = cond | dcond
         if has_bloom and op in ("==", "=", "in"):
             # == probes one value; IN is excludable iff the bloom proves
             # EVERY listed value absent (an IN with no values excludes
@@ -546,7 +709,7 @@ def decode_table(
     snap = store.snapshot_path(snapshot) if snapshot is not None else store.fresh_snapshot()
     manifests = spark.read.parquet(snap).select(
         "pid", "column", "meta_json", "stat_min", "stat_max",
-        "stat_bloom", "stat_bloom_dom",
+        "stat_bloom", "stat_bloom_dom", "stat_distinct",
     )
     if since_snapshot is not None:
         base = store.snapshot_pids(since_snapshot)
@@ -574,7 +737,7 @@ def decode_table(
             F.col("column").isin(sorted(set(columns) | set(pred_cols)))
         )
     manifests = manifests.drop(
-        "stat_min", "stat_max", "stat_bloom", "stat_bloom_dom"
+        "stat_min", "stat_max", "stat_bloom", "stat_bloom_dom", "stat_distinct"
     ).repartition(
         spark.sparkContext.defaultParallelism * 2, "pid"
     )

@@ -105,13 +105,13 @@ def delete_rows(
     snap = store.fresh_snapshot()
     manifests = spark.read.parquet(snap).select(
         "pid", "column", "meta_json", "stat_min", "stat_max",
-        "stat_bloom", "stat_bloom_dom",
+        "stat_bloom", "stat_bloom_dom", "stat_distinct",
     )
     # stats pruning: partitions whose envelopes cannot match write no bitmap
     manifests = prune_manifests(manifests, predicates)
     pred_cols = sorted({p[0] for p in predicates})
     manifests = manifests.filter(F.col("column").isin(pred_cols)).drop(
-        "stat_min", "stat_max", "stat_bloom", "stat_bloom_dom"
+        "stat_min", "stat_max", "stat_bloom", "stat_bloom_dom", "stat_distinct"
     )
 
     def scan(batches):

@@ -100,7 +100,7 @@ def column_digest(arr: pa.Array) -> str:
 # Stat kernels live with the codecs (the paged layout computes per-page
 # stats there); re-exported here for the established import surface.
 from ..codecs.stats import STR_STAT_CHARS as _STR_STAT_CHARS  # noqa: F401
-from ..codecs.stats import column_agg_stats, column_bloom, column_minmax, string_upper_bound  # noqa: F401
+from ..codecs.stats import column_agg_stats, column_bloom, column_distinct, column_minmax, string_upper_bound  # noqa: F401
 
 
 def plan_partitions(
@@ -440,6 +440,7 @@ def encode_table(
                 smin, smax = column_minmax(arr)
                 sbloom, sbloom_dom = column_bloom(arr)
                 ssum, snulls = column_agg_stats(arr)
+                sdistinct = column_distinct(arr)
                 blobs[column] = blob
                 rows.append(
                     {
@@ -449,6 +450,7 @@ def encode_table(
                         "stat_bloom_dom": sbloom_dom,
                         "stat_sum": ssum,
                         "stat_nulls": snulls,
+                        "stat_distinct": sdistinct,
                         "pid": pid,
                         "column": column,
                         "codec": codec,

@@ -44,6 +44,7 @@ from .encode import (
     column_agg_stats,
     column_bloom,
     column_digest,
+    column_distinct,
     column_minmax,
     plan_partitions,
 )
@@ -262,6 +263,7 @@ def add_columns(
                 smin, smax = column_minmax(arr)
                 sbloom, sbloom_dom = column_bloom(arr)
                 ssum, snulls = column_agg_stats(arr)
+                sdistinct = column_distinct(arr)
                 blobs[name] = blob
                 new_rows.append(
                     {
@@ -271,6 +273,7 @@ def add_columns(
                         "stat_bloom_dom": sbloom_dom,
                         "stat_sum": ssum,
                         "stat_nulls": snulls,
+                        "stat_distinct": sdistinct,
                         "pid": pid,
                         "column": name,
                         "codec": codec,

@@ -64,6 +64,14 @@ MANIFEST_SCHEMA = pa.schema(
         # columns, null otherwise; stat_nulls is the column's null count.
         ("stat_sum", pa.string()),
         ("stat_nulls", pa.int64()),
+        # Capped EXACT distinct-value set (v7) — JSON array of canonical
+        # strings when the partition holds ≤64 distinct non-null values of
+        # an integer/string column ("[]" for all-null partitions), null
+        # otherwise. Exact membership both directions: equality/IN pruning
+        # with no bloom false positives, IN-list full-coverage proofs, and
+        # metadata-only COUNT(DISTINCT) by set union (codecs/stats.py
+        # column_distinct; operators/aggregate.py).
+        ("stat_distinct", pa.string()),
     ]
 )
 
@@ -76,11 +84,13 @@ MANIFEST_SCHEMA = pa.schema(
 # min/max stats for sub-partition skipping; v5: partition-level equality
 # blooms in the stat_bloom/stat_bloom_dom manifest columns; v6: exact
 # per-partition stat_sum/stat_nulls aggregate stats for metadata-only
-# COUNT/SUM/MIN/MAX — operators/aggregate.py).
+# COUNT/SUM/MIN/MAX — operators/aggregate.py; v7: capped exact
+# distinct-value sets in stat_distinct for exact equality/IN pruning and
+# metadata-only COUNT(DISTINCT)).
 # ensure_config embeds it in the store identity, so a resume against an
 # older store fails loudly instead of mixing formats; check_format gives
 # decoders the same loud failure.
-FORMAT_VERSION = 6
+FORMAT_VERSION = 7
 
 
 class ManifestStore:

@@ -565,6 +565,76 @@ def q_snapshot_ref(spark, sf_dir):
     )
 
 
+def q_wap_publish(spark, sf_dir):
+    """Write-audit-publish lifecycle, oracle-gated (the Iceberg wap.id /
+    branch-staging workflow): the store starts at batch 1 (lang < 'm');
+    batch 2 stages under a wap_id — the HEAD decode taken at that point
+    must still be exactly batch 1 (isolation) — the staged branch is
+    scrubbed by verify_store(ref=...) (a single bad blob aborts the
+    query), then publish_ref flips the head, whose decode must be the
+    full table. Both phases return in one frame, so a leaky stage or a
+    lossy publish hash-mismatches the DuckDB twin."""
+    from parzig_spark.operators import publish_ref, stage_batch
+    from parzig_spark.operators.verify import verify_store
+
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    root = tempfile.mkdtemp(prefix="parzig_wap_")
+    encode_table(
+        src.filter(F.col("lang") < "m"), root,
+        group_cols=["lang", "source"], salt_cols=["doc_id"], size_col="text",
+        sort_cols=["doc_id"], target_bytes=32 << 20, resume=False,
+    ).count()
+    info = stage_batch(
+        spark, src.filter(~(F.col("lang") < "m")), root, wap_id="q-batch-2"
+    )
+    staged_head = decode_table(spark, root)  # pinned pre-publish snapshot
+    bad = (
+        verify_store(spark, root, ref=info["branch"])
+        .filter(~F.col("ok")).count()
+    )
+    if bad:
+        raise RuntimeError(f"WAP audit failed: {bad} corrupt staged blobs")
+    publish_ref(root, info["branch"])
+    published = decode_table(spark, root)
+
+    def pick(df, phase):
+        return df.select(
+            "doc_id", "lang", "n_chars",
+            F.sha2("text", 256).alias("text_sha"),
+            F.lit(phase).alias("phase"),
+        )
+
+    return pick(staged_head, "staged").unionByName(pick(published, "published"))
+
+
+def q_quality_report(spark, sf_dir):
+    """Metadata-scale data-quality report, oracle-gated (the WAP audit
+    gate; Great-Expectations analog): documents encode lang/source-
+    grouped and check_store evaluates six expectations — counts and null
+    stats from exact manifest n_values/stat_nulls, string domain and
+    extrema from the exact stat_distinct sets, integer bounds from exact
+    int stats — without decoding a single clean partition. Every verdict
+    AND its observed string must hash-match DuckDB computing the same
+    checks from raw rows (the values_in_set check intentionally FAILS so
+    the violator-reporting path is gated too)."""
+    from parzig_spark.operators import check_store
+
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    root = tempfile.mkdtemp(prefix="parzig_quality_")
+    encode_table(
+        src, root, group_cols=["lang", "source"], salt_cols=["doc_id"],
+        size_col="text", target_bytes=1 << 20, resume=False,
+    ).count()
+    return check_store(spark, root, [
+        ("row_count_between", None, (1, 1_000_000_000)),
+        ("no_nulls", "lang", None),
+        ("null_fraction_at_most", "n_chars", 0.5),
+        ("values_in_set", "lang", ["de", "en", "es", "fr"]),
+        ("min_at_least", "n_chars", 0),
+        ("max_at_most", "lang", "zz"),
+    ])
+
+
 def q_incremental_read(spark, sf_dir):
     """Incremental (CDC-style) read, oracle-gated: partitions committed
     AFTER snapshot version 0 are exactly the second batch — the append-scan
@@ -1659,6 +1729,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_compacted": q_roundtrip_compacted,
         "time_travel": q_time_travel,
         "snapshot_ref": q_snapshot_ref,
+        "wap_publish": q_wap_publish,
+        "quality_report": q_quality_report,
         "incremental_read": q_incremental_read,
         "add_column_backfill": q_add_column_backfill,
         "delete_rows_mor": q_delete_rows,
@@ -1742,6 +1814,50 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "snapshot_ref": """
             SELECT doc_id, lang, n_chars, sha256(text) AS text_sha
             FROM documents WHERE lang < 'm'
+        """,
+        "wap_publish": """
+            SELECT doc_id, lang, n_chars, sha256(text) AS text_sha,
+                   'staged' AS phase
+            FROM documents WHERE lang < 'm'
+            UNION ALL
+            SELECT doc_id, lang, n_chars, sha256(text) AS text_sha,
+                   'published' AS phase
+            FROM documents
+        """,
+        "quality_report": """
+            SELECT 'row_count_between' AS check, CAST(NULL AS VARCHAR) AS "column",
+                   count(*) BETWEEN 1 AND 1000000000 AS passed,
+                   'rows=' || count(*) AS observed
+            FROM documents
+            UNION ALL
+            SELECT 'no_nulls', 'lang', (count(*) - count(lang)) = 0,
+                   'nulls=' || (count(*) - count(lang))
+            FROM documents
+            UNION ALL
+            SELECT 'null_fraction_at_most', 'n_chars',
+                   ((count(*) - count(n_chars)) * 1.0 / count(*)) <= 0.5,
+                   printf('null_fraction=%.6f',
+                          (count(*) - count(n_chars)) * 1.0 / count(*))
+            FROM documents
+            UNION ALL
+            SELECT 'values_in_set', 'lang',
+                   count(DISTINCT lang)
+                       FILTER (WHERE lang NOT IN ('de','en','es','fr')) = 0,
+                   CASE WHEN count(DISTINCT lang)
+                            FILTER (WHERE lang NOT IN ('de','en','es','fr')) = 0
+                        THEN 'all values allowed'
+                        ELSE 'violators=' || to_json(list(DISTINCT lang ORDER BY lang)
+                            FILTER (WHERE lang NOT IN ('de','en','es','fr')))
+                   END
+            FROM documents
+            UNION ALL
+            SELECT 'min_at_least', 'n_chars', min(n_chars) >= 0,
+                   'min=' || min(n_chars)
+            FROM documents
+            UNION ALL
+            SELECT 'max_at_most', 'lang', max(lang) <= 'zz',
+                   'max=' || max(lang)
+            FROM documents
         """,
         "incremental_read": """
             SELECT doc_id, lang, n_chars, sha256(text) AS text_sha

@@ -24,13 +24,19 @@ def _sha_expr(df: DataFrame, col: str):
     return F.when(F.col(col).isNull(), F.lit("__NULL__")).otherwise(hashed)
 
 
-def verify_store(spark, store_root: str) -> DataFrame:
+def verify_store(
+    spark, store_root: str, snapshot: int | None = None, ref: str | None = None
+) -> DataFrame:
     """At-rest integrity audit: re-decode every committed blob and compare
     its canonical digest against the manifest's recorded sha256.
 
     Distributed exactly like decode (manifest rows shuffle, one task audits
     a partition's blobs); returns one row per (pid, column) with ``ok`` —
     at 100 TB you run this as a scrubber job, filter ``ok = false``.
+
+    ``snapshot``/``ref`` audit a PINNED view instead of the head — the
+    write-audit-publish gate (operators/wap.py): scrub the staged branch
+    before ``publish_ref`` flips readers to it.
     """
     import json as _json
 
@@ -43,7 +49,17 @@ def verify_store(spark, store_root: str) -> DataFrame:
 
     store = ManifestStore(store_root)
     store.check_format()  # v1/foreign store → loud error, not blanket digest_mismatch
-    snap = store.fresh_snapshot()
+    if ref is not None:
+        if snapshot is not None:
+            raise ValueError("pass either ref= or snapshot=, not both")
+        from .refs import resolve_ref
+
+        snapshot = resolve_ref(store_root, ref)
+    snap = (
+        store.snapshot_path(snapshot)
+        if snapshot is not None
+        else store.fresh_snapshot()
+    )
     manifests = spark.read.parquet(snap).select("pid", "column", "meta_json", "sha256")
     manifests = manifests.repartition(
         spark.sparkContext.defaultParallelism * 2, "pid"

@@ -271,14 +271,16 @@ class ManifestStore:
             if f.startswith("_committed_")
         )
 
-    def delete_touched_pids(self) -> set[int]:
+    def delete_touched_pids(self, ops: "list[str] | None" = None) -> set[int]:
         """Partitions carrying at least one committed delete bitmap — one
         listdir per op (each returns only the pids that op touched), never
         a scan over all partitions. Metadata answers over these pids are
         stale by construction; aggregate_store routes them to the decode
-        path."""
+        path. ``ops`` overrides the op set (pass a snapshot sidecar's list
+        to get the pids dirty AT THAT VIEW — check_store's pinned-audit
+        path)."""
         out: set[int] = set()
-        for op in self.committed_delete_ops():
+        for op in self.committed_delete_ops() if ops is None else ops:
             d = self.deletes_dir(op)
             if not os.path.isdir(d):
                 continue

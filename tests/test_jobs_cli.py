@@ -115,3 +115,64 @@ def test_spark_submit_pyfiles_deploy(tmp_path):
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     rep = json.loads(line)
     assert rep["rows"] == 1000 and rep["partitions_encoded"] >= 1
+
+
+def test_wap_cli_lifecycle(tmp_path):
+    """The WAP gate as CLI steps: encode → write a batch parquet → stage →
+    refs listed → audit green → check gate (exit 1 on violation, 0 after
+    narrowing) → publish → head decode sees the batch."""
+    store = str(tmp_path / "store")
+    _run(
+        [
+            "jobs/encode_job.py",
+            "--synthetic-rows", "1200",
+            "--store", store,
+            "--target-mb", "1",
+        ]
+    )
+    # the synthetic corpus generator is deterministic by row id: rows
+    # 1200..1500 are a disjoint, same-schema batch
+    batch = str(tmp_path / "batch.parquet")
+    gen = subprocess.run(
+        [
+            sys.executable, "-c",
+            "import sys; sys.path.insert(0, %r); "
+            "from parzig_spark.session import get_spark; "
+            "from parzig_spark.sources import source_code_table; "
+            "spark = get_spark(master='local[4]'); "
+            "import pyspark.sql.functions as F; "
+            "full = source_code_table(spark, n_rows=1500, partitions=4); "
+            "full.filter(F.xxhash64('path','commit') %% 5 == 0)"
+            ".write.mode('overwrite').parquet(%r)" % (REPO, batch),
+        ],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert gen.returncode == 0, gen.stderr[-2000:]
+
+    info = _run(["jobs/maintenance_job.py", "stage", store, batch, "cli-wap-1"])
+    assert info["rows_staged"] > 0
+    refs = _run(["jobs/maintenance_job.py", "refs", store])
+    assert refs["refs"][0]["name"] == info["branch"]
+    audit = _run(["jobs/maintenance_job.py", "audit", store, info["branch"]])
+    assert audit["corrupt_blobs"] == 0
+    # gate: the staged view has more rows than the head allows → exit 1
+    gate = subprocess.run(
+        [
+            sys.executable, "jobs/maintenance_job.py", "check", store,
+            json.dumps([["row_count_between", None, [1, 1]]]), info["branch"],
+        ],
+        capture_output=True, text=True, cwd=REPO, timeout=300,
+    )
+    assert gate.returncode == 1
+    ok = _run(
+        [
+            "jobs/maintenance_job.py", "check", store,
+            json.dumps([["row_count_between", None, [1, 10_000]],
+                        ["no_nulls", "path", None]]),
+            info["branch"],
+        ]
+    )
+    assert all(r["passed"] for r in ok["results"])
+    pub = _run(["jobs/maintenance_job.py", "publish", store, info["branch"]])
+    assert pub["published_version"] >= 1
+    assert _run(["jobs/maintenance_job.py", "refs", store])["refs"] == []

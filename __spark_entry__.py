@@ -607,6 +607,28 @@ def q_wap_publish(spark, sf_dir):
     return pick(staged_head, "staged").unionByName(pick(published, "published"))
 
 
+def q_cdc_changes(spark, sf_dir):
+    """Row-level changelog, oracle-gated (the Iceberg CDC /
+    create_changelog_view analog): over the two-batch store, a delete op
+    (lang = 'de', batch-1 rows) commits after snapshot 1; the changelog
+    from snapshot 0 to the post-delete snapshot must be exactly batch 2
+    as inserts plus the de-rows as deletes — decoding ONLY the affected
+    partitions (appended + delete-touched). A visibility error in either
+    direction (phantom insert, missed delete) hash-mismatches DuckDB
+    computing the same sets from raw rows."""
+    from parzig_spark.operators import changes_table, delete_rows
+    from parzig_spark.plans.manifest import ManifestStore
+
+    root = _two_batch_store(spark, sf_dir)  # v0 = lang<'m', v1 = all
+    delete_rows(spark, root, [("lang", "==", "de")])
+    ManifestStore(root).write_snapshot()  # v2: both batches minus de
+    ch = changes_table(spark, root, 0, 2)
+    return ch.select(
+        "doc_id", "lang", "n_chars", F.sha2("text", 256).alias("text_sha"),
+        "_change_type",
+    )
+
+
 def q_quality_report(spark, sf_dir):
     """Metadata-scale data-quality report, oracle-gated (the WAP audit
     gate; Great-Expectations analog): documents encode lang/source-
@@ -1731,6 +1753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_ref": q_snapshot_ref,
         "wap_publish": q_wap_publish,
         "quality_report": q_quality_report,
+        "cdc_changes": q_cdc_changes,
         "incremental_read": q_incremental_read,
         "add_column_backfill": q_add_column_backfill,
         "delete_rows_mor": q_delete_rows,
@@ -1823,6 +1846,15 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
             SELECT doc_id, lang, n_chars, sha256(text) AS text_sha,
                    'published' AS phase
             FROM documents
+        """,
+        "cdc_changes": """
+            SELECT doc_id, lang, n_chars, sha256(text) AS text_sha,
+                   'insert' AS _change_type
+            FROM documents WHERE NOT (lang < 'm')
+            UNION ALL
+            SELECT doc_id, lang, n_chars, sha256(text) AS text_sha,
+                   'delete' AS _change_type
+            FROM documents WHERE lang = 'de'
         """,
         "quality_report": """
             SELECT 'row_count_between' AS check, CAST(NULL AS VARCHAR) AS "column",

@@ -15,6 +15,7 @@ from .refs import (  # noqa: F401
 from .decode import decode_table, decoded_schema, register_store  # noqa: F401
 from .encode import column_digest, encode_table, plan_partitions  # noqa: F401
 from .upsert import upsert_rows  # noqa: F401
+from .changes import changes_table  # noqa: F401
 from .quality import check_store  # noqa: F401
 from .wap import publish_ref, stage_batch  # noqa: F401
 from .verify import verify_roundtrip, verify_store  # noqa: F401

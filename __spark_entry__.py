@@ -607,6 +607,31 @@ def q_wap_publish(spark, sf_dir):
     return pick(staged_head, "staged").unionByName(pick(published, "published"))
 
 
+def q_datasource_sql(spark, sf_dir):
+    """The parzig Python Data Source (Spark 4 DataSource V2), oracle-gated:
+    plain SQL over ``spark.read.format("parzig")`` — Catalyst compiles the
+    WHERE clause to Filter objects, pushFilters hands them to the store's
+    partition pruning (min/max + blooms + exact distinct sets, planned
+    driver-side with no Spark job), each surviving partition decodes
+    through the shared Arrow kernel, and Spark re-applies the filters
+    row-exactly. The per-row sha proves the full pipeline (pruning +
+    page skipping + residual filters) loses and invents nothing."""
+    from parzig_spark.sources.datasource import register_datasource
+
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    root = tempfile.mkdtemp(prefix="parzig_ds_")
+    encode_table(
+        src, root, group_cols=["lang", "source"], salt_cols=["doc_id"],
+        size_col="text", target_bytes=1 << 20, resume=False,
+    ).count()
+    register_datasource(spark)
+    spark.read.format("parzig").load(root).createOrReplaceTempView("parzig_docs")
+    return spark.sql(
+        "SELECT doc_id, lang, n_chars, sha2(text, 256) AS text_sha "
+        "FROM parzig_docs WHERE lang = 'zh' AND source LIKE 'src1%'"
+    )
+
+
 def q_cdc_changes(spark, sf_dir):
     """Row-level changelog, oracle-gated (the Iceberg CDC /
     create_changelog_view analog): over the two-batch store, a delete op
@@ -1754,6 +1779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wap_publish": q_wap_publish,
         "quality_report": q_quality_report,
         "cdc_changes": q_cdc_changes,
+        "datasource_sql": q_datasource_sql,
         "incremental_read": q_incremental_read,
         "add_column_backfill": q_add_column_backfill,
         "delete_rows_mor": q_delete_rows,
@@ -1846,6 +1872,10 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
             SELECT doc_id, lang, n_chars, sha256(text) AS text_sha,
                    'published' AS phase
             FROM documents
+        """,
+        "datasource_sql": """
+            SELECT doc_id, lang, n_chars, sha256(text) AS text_sha
+            FROM documents WHERE lang = 'zh' AND source LIKE 'src1%'
         """,
         "cdc_changes": """
             SELECT doc_id, lang, n_chars, sha256(text) AS text_sha,

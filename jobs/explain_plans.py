@@ -268,6 +268,23 @@ def main() -> None:
         "parquet instead of the head.",
     )
 
+    from parzig_spark.operators import changes_table, delete_rows
+
+    delete_rows(spark, store_root, [("repo", "==", "org0/megarepo")])
+    ManifestStore(store_root).write_snapshot()
+    grab(
+        "Row-level changelog between snapshots (insert/delete CDC)",
+        changes_table(spark, store_root, 0),
+        "changes_table(v_from, v_to): two decode subtrees, both restricted "
+        "by a pid semi-join to the AFFECTED partitions only (snapshot "
+        "pid-set symmetric difference + partitions touched by delete ops "
+        "in exactly one sidecar — driver-side set arithmetic over "
+        "metadata), anti-joined both ways on the stable (_pid, _pos) "
+        "physical row address and union-tagged insert/delete. Unchanged "
+        "partitions never appear in either subtree: CDC cost scales with "
+        "the changed data, not the store.",
+    )
+
     out = "# EXPLAIN — physical plans of the key dataflows\n\n" + "\n".join(sections)
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "EXPLAIN.md")
     with open(path, "w") as f:

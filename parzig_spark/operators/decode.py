@@ -537,6 +537,48 @@ def _page_may_match(
     return True
 
 
+def _distinct_may_match(op: str, val, sdistinct: "str | None") -> bool:
+    """Python twin of :func:`_distinct_exclusion` for driver-side pruning
+    (the ``parzig`` data source plans partitions without a SparkSession):
+    False only when the partition's EXACT distinct set PROVES no row can
+    satisfy ``op val``; missing sets, cross-domain values, and undecidable
+    ops keep the partition — never unsound."""
+    if sdistinct is None:
+        return True
+    try:
+        rec = json.loads(sdistinct)
+        dom, vals = rec["d"], rec["v"]
+    except (ValueError, KeyError, TypeError):
+        return True
+    if not vals:
+        # no non-null rows: nothing satisfies equality/ranges/prefix/!=
+        return op not in ("==", "=", "in", "!=", "<", "<=", ">", ">=",
+                          "startswith", "like_prefix")
+    if op == "in":
+        items = list(val)
+        return any(_distinct_may_match("==", v2, sdistinct) for v2 in items)
+    ck = _distinct_canon(val)
+    if op in ("==", "="):
+        if ck is None or ck[0] != dom:
+            return True
+        return ck[1] in vals
+    if op == "!=":
+        if ck is None or ck[0] != dom:
+            return True
+        return not (len(vals) == 1 and vals[0] == ck[1])
+    if not isinstance(val, str) or dom != "str":
+        return True
+    if op in ("startswith", "like_prefix"):
+        return any(x.startswith(val) for x in vals)
+    cmp = {
+        "<": lambda x: x < val,
+        "<=": lambda x: x <= val,
+        ">": lambda x: x > val,
+        ">=": lambda x: x >= val,
+    }.get(op)
+    return True if cmp is None else any(cmp(x) for x in vals)
+
+
 def _bloom_absent_udf(vals):
     """Arrow-batched twin of stats.bloom_may_contain for manifest rows:
     True only where the partition bloom PROVES every value in `vals`
@@ -743,29 +785,53 @@ def decode_table(
     )
 
     def decode_partition(batches):
-        """Iterator[pa.RecordBatch] of manifest rows -> decoded row batches.
-
-        Pure-Arrow (mapInArrow): decoded columns go straight from the numpy
-        kernels into Arrow batches, never through pandas objects.
-
-        With predicates + a PAGED store, sections whose per-page [min, max]
-        cannot satisfy every predicate are skipped: paged columns read ONLY
-        the surviving byte ranges off storage (read_blob_ranges) and decode
-        only those sections; unpaged columns decode whole, then slice the
-        same row ranges so every column stays row-aligned (the shared value
-        stride guarantees identical page boundaries across columns).
-        """
-        import numpy as np
-
-        from ..codecs import page_byte_ranges, page_row_ranges
-        from .delete import load_delete_mask
-
-        local = ManifestStore(store_root)
+        """Iterator[pa.RecordBatch] of manifest rows -> decoded row batches
+        (mapInArrow adapter over :func:`decode_pid_rows`)."""
         rows: dict[int, dict[str, dict]] = {}
         for batch in batches:
             for row in batch.to_pylist():
                 rows.setdefault(int(row["pid"]), {})[row["column"]] = row
-        for pid, by_col in rows.items():
+        yield from decode_pid_rows(
+            store_root, rows, cols, casts,
+            predicates=predicates, delete_ops=delete_ops,
+            include_pid_pos=include_pid_pos,
+        )
+
+    return manifests.mapInArrow(decode_partition, schema=ddl)
+
+
+def decode_pid_rows(
+    store_root: str,
+    rows: "dict[int, dict[str, dict]]",
+    cols: list[str],
+    casts: dict,
+    predicates: list[tuple] | None = None,
+    delete_ops: "list[str] | tuple" = (),
+    include_pid_pos: bool = False,
+):
+    """Decode partitions from their manifest rows — the worker-side kernel
+    shared by :func:`decode_table` (mapInArrow) and the ``parzig`` Python
+    data source (sources/datasource.py read()). ``rows`` maps pid ->
+    column -> manifest row dict (pid/column/meta_json). Yields Arrow
+    RecordBatches in ``cols`` order (+ _pid/_pos when requested).
+
+    Pure-Arrow: decoded columns go straight from the numpy kernels into
+    Arrow batches, never through pandas objects.
+
+    With predicates + a PAGED store, sections whose per-page [min, max]
+    cannot satisfy every predicate are skipped: paged columns read ONLY
+    the surviving byte ranges off storage (read_blob_ranges) and decode
+    only those sections; unpaged columns decode whole, then slice the
+    same row ranges so every column stays row-aligned (the shared value
+    stride guarantees identical page boundaries across columns).
+    """
+    import numpy as np
+
+    from ..codecs import page_byte_ranges, page_row_ranges
+    from .delete import load_delete_mask
+
+    local = ManifestStore(store_root)
+    for pid, by_col in rows.items():
             metas = {name: json.loads(r["meta_json"]) for name, r in by_col.items()}
             survivors: list[int] | None = None
             ref_paged: dict | None = None
@@ -859,5 +925,3 @@ def decode_table(
                 out_cols["_pos"] = pa.array(pos)
             table = pa.table(out_cols)
             yield from table.to_batches(max_chunksize=8192)
-
-    return manifests.mapInArrow(decode_partition, schema=ddl)

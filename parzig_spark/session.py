@@ -55,6 +55,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # the parzig Python data source plans its own partition pruning in
+        # pushFilters (sources/datasource.py) — default-off in Spark 4.1
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.task.cpus", str(task_cpus))
     )
     if master.startswith("local-cluster"):

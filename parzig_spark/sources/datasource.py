@@ -1,0 +1,212 @@
+"""``parzig`` Python Data Source (Spark 4 DataSource V2 API): plain
+``spark.read.format("parzig").load(root)`` over an encoded store, with
+FILTER PUSHDOWN — WHERE clauses written in SQL/DataFrame code reach the
+store's partition pruning (min/max envelopes, equality blooms, exact
+distinct sets) before a single task is planned.
+
+This is the switch-over surface done Spark-natively: ``register_store``
+wraps decode_table as a temp view (projection pruning only);
+the data source goes further — Catalyst hands the scan its compiled
+``Filter`` tree via ``pushFilters``, the reader plans one InputPartition
+per SURVIVING store partition driver-side (pure pyarrow + the same
+exclusion twins the executor path uses — no SparkSession needed at
+planning time), and each task decodes its partition through the shared
+:func:`operators.decode.decode_pid_rows` kernel, yielding Arrow batches
+(page-level skipping and merge-on-read delete masks included).
+
+Pruning here is partition/page-granular, so every filter is also returned
+to Spark for the residual row-level evaluation (the pushFilters contract's
+"partially pushed" case) — results are exact, pruning is a strict
+bonus.
+
+Options: ``path`` (store root; or pass to ``load()``), ``snapshot`` /
+``ref`` (pinned views — time travel / WAP branches through plain SQL),
+``columns`` (comma-separated projection; Spark's own column pruning does
+not reach Python data sources, so narrow wide stores explicitly).
+
+Usage::
+
+    from parzig_spark.sources.datasource import ParzigDataSource
+    spark.dataSource.register(ParzigDataSource)
+    spark.read.format("parzig").load(root).where("lang = 'zh'")
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+    StringStartsWith,
+)
+
+_OPS = {
+    EqualTo: "==",
+    In: "in",
+    LessThan: "<",
+    LessThanOrEqual: "<=",
+    GreaterThan: ">",
+    GreaterThanOrEqual: ">=",
+    StringStartsWith: "startswith",
+}
+
+_STAT_COLS = [
+    "pid", "column", "stat_min", "stat_max",
+    "stat_bloom", "stat_bloom_dom", "stat_distinct",
+]
+
+
+def _translate(f):
+    """Catalyst Filter -> (column, op, value) predicate triple, or None for
+    shapes the store's pruning doesn't speak (nested attributes, IsNull,
+    Not, ...) — untranslated filters simply don't prune."""
+    op = _OPS.get(type(f))
+    if op is None or len(f.attribute) != 1:
+        return None
+    col = f.attribute[0]
+    if op == "in":
+        return (col, "in", tuple(f.value))
+    return (col, op, f.value)
+
+
+class ParzigPartition(InputPartition):
+    def __init__(self, pid: int):
+        self.pid = int(pid)
+
+
+class ParzigReader(DataSourceReader):
+    def __init__(self, options, schema_cols: list[str]):
+        from ..operators.refs import resolve_ref
+        from ..plans.manifest import ManifestStore
+
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError("parzig: pass the store root via .load(path)")
+        store = ManifestStore(self.root)
+        store.check_format()
+        ref = options.get("ref")
+        snapshot = options.get("snapshot")
+        if ref is not None and snapshot is not None:
+            raise ValueError("pass either ref= or snapshot=, not both")
+        if ref is not None:
+            snapshot = resolve_ref(self.root, ref)
+        self.pinned = snapshot is not None
+        snap = (
+            store.snapshot_path(int(snapshot))
+            if self.pinned
+            else store.fresh_snapshot()
+        )
+        self.snap_path = snap
+        version = int(os.path.basename(snap)[len("snap-"):-len(".parquet")])
+        self.delete_ops = (
+            store.snapshot_delete_ops(version)
+            if self.pinned
+            else store.committed_delete_ops()
+        )
+        self.columns = schema_cols
+        self.predicates: list[tuple] = []
+
+    def pushFilters(self, filters):
+        for f in filters:
+            p = _translate(f)
+            if p is not None:
+                self.predicates.append(p)
+        # partition/page-granular pruning is never row-exact: hand every
+        # filter back for Spark's residual evaluation (exactness first,
+        # pruning as a bonus)
+        return filters
+
+    def partitions(self):
+        from ..operators.decode import _distinct_may_match, _page_may_match
+
+        t = pq.read_table(self.snap_path, columns=_STAT_COLS)
+        pids = sorted({int(p) for p in t.column("pid").to_pylist()})
+        if self.predicates:
+            rows = t.to_pylist()
+            by_col: dict[tuple, dict] = {
+                (int(r["pid"]), r["column"]): r for r in rows
+            }
+            survivors = []
+            for pid in pids:
+                keep = True
+                for col, op, val in self.predicates:
+                    r = by_col.get((pid, col))
+                    if r is None:
+                        continue  # predicate on a column this store lacks
+                    if not _page_may_match(
+                        op, val, r["stat_min"], r["stat_max"],
+                        r["stat_bloom"], r["stat_bloom_dom"],
+                    ) or not _distinct_may_match(op, val, r["stat_distinct"]):
+                        keep = False
+                        break
+                if keep:
+                    survivors.append(pid)
+            pids = survivors
+        return [ParzigPartition(pid) for pid in pids]
+
+    def read(self, partition):
+        from ..operators.decode import decode_pid_rows, decoded_schema
+        from ..plans.manifest import ManifestStore
+
+        store = ManifestStore(self.root)
+        cols, _ddl, casts = decoded_schema(store, self.columns)
+        pid = partition.pid
+        mt = pq.read_table(
+            os.path.join(store.manifest_dir, f"part-{pid}.parquet"),
+            columns=["pid", "column", "meta_json"],
+        )
+        by_col = {r["column"]: r for r in mt.to_pylist() if r["column"] in cols}
+        yield from decode_pid_rows(
+            self.root, {pid: by_col}, cols, casts,
+            predicates=self.predicates, delete_ops=self.delete_ops,
+        )
+
+
+class ParzigDataSource(DataSource):
+    """spark.dataSource.register(ParzigDataSource); then
+    ``spark.read.format("parzig").load(root)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "parzig"
+
+    def _schema_cols(self):
+        cols_opt = self.options.get("columns")
+        return (
+            [c.strip() for c in cols_opt.split(",") if c.strip()]
+            if cols_opt
+            else None
+        )
+
+    def schema(self) -> str:
+        from ..operators.decode import decoded_schema
+        from ..plans.manifest import ManifestStore
+
+        root = self.options.get("path")
+        if not root:
+            raise ValueError("parzig: pass the store root via .load(path)")
+        store = ManifestStore(root)
+        store.check_format()
+        _cols, ddl, _casts = decoded_schema(store, self._schema_cols())
+        return ddl
+
+    def reader(self, schema) -> ParzigReader:
+        return ParzigReader(dict(self.options), [f.name for f in schema.fields])
+
+
+def register_datasource(spark) -> None:
+    """Idempotent registration helper; also enables the Python-datasource
+    filter-pushdown conf the reader's pushFilters requires (runtime-
+    settable SQL conf, default false in Spark 4.1)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(ParzigDataSource)

@@ -632,6 +632,33 @@ def q_datasource_sql(spark, sf_dir):
     )
 
 
+def q_stream_tail(spark, sf_dir):
+    """Structured-Streaming READ of the store, oracle-gated:
+    ``spark.readStream.format("parzig")`` tails published snapshots with
+    integer offsets (each micro-batch = the incremental read between two
+    versions, applying that snapshot's delete ops), drained here with
+    availableNow into a parquet sink. The sink read-back must hash-match
+    all documents — a dropped partition, duplicated delivery, or
+    unpublished-data leak all surface as value mismatches."""
+    from parzig_spark.sources.datasource import register_datasource
+
+    root = _two_batch_store(spark, sf_dir)
+    register_datasource(spark)
+    out = tempfile.mkdtemp(prefix="parzig_stream_out_")
+    ckpt = tempfile.mkdtemp(prefix="parzig_stream_ckpt_")
+    q = (
+        spark.readStream.format("parzig")
+        .option("starting", "earliest").load(root)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(out).select(
+        "doc_id", "lang", "n_chars", F.sha2("text", 256).alias("text_sha")
+    )
+
+
 def q_cdc_changes(spark, sf_dir):
     """Row-level changelog, oracle-gated (the Iceberg CDC /
     create_changelog_view analog): over the two-batch store, a delete op
@@ -1780,6 +1807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_report": q_quality_report,
         "cdc_changes": q_cdc_changes,
         "datasource_sql": q_datasource_sql,
+        "stream_tail": q_stream_tail,
         "incremental_read": q_incremental_read,
         "add_column_backfill": q_add_column_backfill,
         "delete_rows_mor": q_delete_rows,
@@ -1876,6 +1904,10 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "datasource_sql": """
             SELECT doc_id, lang, n_chars, sha256(text) AS text_sha
             FROM documents WHERE lang = 'zh' AND source LIKE 'src1%'
+        """,
+        "stream_tail": """
+            SELECT doc_id, lang, n_chars, sha256(text) AS text_sha
+            FROM documents
         """,
         "cdc_changes": """
             SELECT doc_id, lang, n_chars, sha256(text) AS text_sha,

@@ -40,6 +40,7 @@ import pyarrow.parquet as pq
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -172,6 +173,90 @@ class ParzigReader(DataSourceReader):
         )
 
 
+class ParzigStreamPartition(InputPartition):
+    def __init__(self, pid: int, delete_ops: tuple):
+        self.pid = int(pid)
+        self.delete_ops = tuple(delete_ops)
+
+
+class ParzigStreamReader(DataSourceStreamReader):
+    """``spark.readStream.format("parzig")`` — tail a store's PUBLISHED
+    history: each micro-batch is the incremental read between two snapshot
+    versions (exactly ``decode_table(since_snapshot=...)`` semantics), so
+    offsets are a single integer per batch — O(1) forever, no pid lists in
+    the checkpoint. Only sealed snapshots stream (a writer publishes by
+    ``write_snapshot`` / ``publish_ref``; uncommitted or staged-branch
+    partitions never leak into the stream). Delete ops are applied at each
+    batch's END snapshot, so a batch never delivers rows that were already
+    retracted when it was published; a compaction rewrite re-delivers its
+    rows under new pids (append-mostly stores are the intended shape —
+    same caveat as changes_table). ``starting`` option: ``latest``
+    (default — stream only snapshots sealed after the query starts) or
+    ``earliest`` (first batch replays the whole current view)."""
+
+    def __init__(self, options, schema_cols: list[str]):
+        from ..plans.manifest import ManifestStore
+
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError("parzig: pass the store root via .load(path)")
+        self.store = ManifestStore(self.root)
+        self.store.check_format()
+        self.columns = schema_cols
+        self.starting = options.get("starting", "latest")
+        if self.starting not in ("latest", "earliest"):
+            raise ValueError("parzig: starting must be 'latest' or 'earliest'")
+
+    def _versions(self) -> list[int]:
+        snap_dir = os.path.join(self.root, "snapshots")
+        if not os.path.isdir(snap_dir):
+            return []
+        return sorted(
+            int(f[len("snap-"):-len(".parquet")])
+            for f in os.listdir(snap_dir)
+            if f.startswith("snap-") and f.endswith(".parquet")
+        )
+
+    def initialOffset(self) -> dict:
+        if self.starting == "earliest":
+            return {"version": -1}
+        vs = self._versions()
+        return {"version": vs[-1] if vs else -1}
+
+    def latestOffset(self) -> dict:
+        vs = self._versions()
+        return {"version": vs[-1] if vs else -1}
+
+    def partitions(self, start: dict, end: dict):
+        v0, v1 = int(start["version"]), int(end["version"])
+        if v1 <= v0 or v1 < 0:
+            return []
+        new_pids = self.store.snapshot_pids(v1) - (
+            self.store.snapshot_pids(v0) if v0 >= 0 else set()
+        )
+        ops = tuple(self.store.snapshot_delete_ops(v1))
+        return [ParzigStreamPartition(pid, ops) for pid in sorted(new_pids)]
+
+    def read(self, partition):
+        from ..operators.decode import decode_pid_rows, decoded_schema
+        from ..plans.manifest import ManifestStore
+
+        store = ManifestStore(self.root)
+        cols, _ddl, casts = decoded_schema(store, self.columns)
+        mt = pq.read_table(
+            os.path.join(store.manifest_dir, f"part-{partition.pid}.parquet"),
+            columns=["pid", "column", "meta_json"],
+        )
+        by_col = {r["column"]: r for r in mt.to_pylist() if r["column"] in cols}
+        yield from decode_pid_rows(
+            self.root, {partition.pid: by_col}, cols, casts,
+            delete_ops=list(partition.delete_ops),
+        )
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the query checkpoint; nothing to release
+
+
 class ParzigDataSource(DataSource):
     """spark.dataSource.register(ParzigDataSource); then
     ``spark.read.format("parzig").load(root)``."""
@@ -202,6 +287,11 @@ class ParzigDataSource(DataSource):
 
     def reader(self, schema) -> ParzigReader:
         return ParzigReader(dict(self.options), [f.name for f in schema.fields])
+
+    def streamReader(self, schema) -> ParzigStreamReader:
+        return ParzigStreamReader(
+            dict(self.options), [f.name for f in schema.fields]
+        )
 
 
 def register_datasource(spark) -> None:

@@ -91,3 +91,46 @@ def test_columns_option_projects(spark, tmp_path):
     df = spark.read.format("parzig").option("columns", "k,cat").load(root)
     assert df.columns == ["k", "cat"]
     assert df.count() == 6_000
+
+
+def test_stream_reader_tails_snapshots(spark, tmp_path):
+    """readStream over the store: batch 1 streams the current view
+    (starting=earliest), a second availableNow run on the SAME checkpoint
+    delivers exactly the newly snapshotted batch — integer offsets through
+    the query checkpoint, no re-delivery."""
+    root = str(tmp_path / "dsstream")
+    common = dict(group_cols=["grp"], salt_cols=["k"], target_bytes=64 << 10)
+    encode_table(
+        _src(spark, 2_000), root, resume=False, pid_namespace=1,
+        bucket_bits=16, **common,
+    ).count()
+    ManifestStore(root).write_snapshot()
+    register_datasource(spark)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out.parquet")
+
+    def drain():
+        q = (
+            spark.readStream.format("parzig")
+            .option("starting", "earliest").load(root)
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        return sorted(r["k"] for r in spark.read.parquet(out).select("k").collect())
+
+    assert drain() == list(range(2_000))
+    # second batch: encode + seal; uncommitted data must NOT stream until
+    # the snapshot publishes it
+    encode_table(
+        spark.range(2_000, 3_000).select(
+            (F.col("id") % 6).cast("int").alias("grp"),
+            F.col("id").alias("k"),
+            F.concat(F.lit("cat"), (F.col("id") % 6).cast("string")).alias("cat"),
+        ),
+        root, resume=True, pid_namespace=2, bucket_bits=16, **common,
+    ).count()
+    ManifestStore(root).write_snapshot()
+    # cumulative sink now holds both batches, each delivered exactly once
+    assert drain() == list(range(3_000))

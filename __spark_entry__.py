@@ -1279,7 +1279,8 @@ def q_agg_distinct(spark, sf_dir):
     return aggregate_store(
         spark, root,
         [("count", "*"), ("distinct", "lang"), ("distinct", "source"),
-         ("distinct", "doc_id"), ("sum", "n_chars")],
+         ("distinct", "doc_id"), ("sum", "n_chars"),
+         ("min", "lang"), ("max", "source")],
         predicates=[("doc_id", "<=", 300)],
     )
 
@@ -2127,7 +2128,9 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                    CAST(count(DISTINCT lang) AS BIGINT) AS distinct_lang,
                    CAST(count(DISTINCT source) AS BIGINT) AS distinct_source,
                    CAST(count(DISTINCT doc_id) AS BIGINT) AS distinct_doc_id,
-                   CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+                   CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+                   min(lang) AS min_lang,
+                   max(source) AS max_source
             FROM documents WHERE doc_id <= 300
         """,
         "agg_groupby": """

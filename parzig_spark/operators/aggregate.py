@@ -98,10 +98,13 @@ def aggregate_store(
     where plan reports how many partitions were pruned / answered from
     metadata / decoded (two metadata-scale count actions).
 
-    sum/min/max are metadata-eligible on integer-lane columns only (their
-    stats are exact decimal strings; float sums are order-dependent and
-    string bounds truncated) — requesting them on other types simply runs
-    the whole query through the decode path, predicates still pruning.
+    sum is metadata-eligible on integer-lane columns only (exact decimal
+    strings; float sums are order-dependent); min/max are metadata-
+    eligible on integer columns (exact int stats) AND string columns —
+    the truncated string bounds are never exact, so string extrema read
+    the exact stat_distinct sets, decoding only set-less partitions.
+    Other types run the whole query through the decode path, predicates
+    still pruning.
 
     ``("distinct", col)`` is COUNT(DISTINCT col): on integer/string
     columns the per-partition EXACT distinct sets (stat_distinct, manifest
@@ -144,8 +147,8 @@ def aggregate_store(
     # be missing fields — fall back to decoding everything (still pruned)
     meta_capable = all(
         fn in ("count", "null_count")
-        or (fn == "distinct" and kinds.get(col) in ("int", "str"))
-        or (fn != "distinct" and kinds.get(col) == "int")
+        or (fn in ("distinct", "min", "max") and kinds.get(col) in ("int", "str"))
+        or (fn == "sum" and kinds.get(col) == "int")
         for fn, col in aggs
         if col != "*"
     ) and all(kinds.get(g) in ("int", "str") for g in group_by or [])
@@ -201,7 +204,11 @@ def aggregate_store(
                 & (F.col("stat_sum").isNotNull() | (F.col("stat_nulls") == F.col("n_values")))
             ).select("pid")
             full_pids = full_pids.join(ok, on="pid", how="left_semi")
-        elif fn == "distinct" and kinds.get(col) in ("int", "str"):
+        elif (
+            fn == "distinct" or (fn in ("min", "max") and kinds.get(col) == "str")
+        ) and kinds.get(col) in ("int", "str"):
+            # exact sets required: for COUNT(DISTINCT) always; for string
+            # extrema (truncated stat_min/stat_max are not exact)
             ok = manifests.filter(
                 (F.col("column") == col) & F.col("stat_distinct").isNotNull()
             ).select("pid")
@@ -293,29 +300,30 @@ def aggregate_store(
                 # half sums natively
                 meta_aggs.append(F.lit(None).cast("double").alias(name))
                 dec_aggs.append(F.sum(F.col(col)).cast("double").alias(name))
-        elif fn == "min":
+        elif fn in ("min", "max"):
+            agg = F.min if fn == "min" else F.max
             if kinds[col] == "int":
+                src_col = F.col("stat_min" if fn == "min" else "stat_max")
                 meta_aggs.append(
-                    F.min(
-                        F.when(F.col("column") == col, F.col("stat_min").cast("long"))
+                    agg(
+                        F.when(F.col("column") == col, src_col.cast("long"))
                     ).alias(name)
                 )
-                dec_aggs.append(F.min(F.col(col)).cast("long").alias(name))
+                dec_aggs.append(agg(F.col(col)).cast("long").alias(name))
+            elif kinds[col] == "str":
+                # exact string extrema from the sorted distinct set; F.get
+                # (never element_at — ANSI throws on the empty all-null
+                # set, which must contribute NULL)
+                v = F.from_json("stat_distinct", _DISTINCT_DDL)["v"]
+                src_col = F.get(v, 0) if fn == "min" else F.get(v, F.size(v) - 1)
+                meta_aggs.append(
+                    agg(F.when(F.col("column") == col, src_col)).alias(name)
+                )
+                dec_aggs.append(agg(F.col(col)).alias(name))
             else:
                 # decode-only lane: natural type both halves (meta is NULL)
                 meta_aggs.append(F.lit(None).cast(sql_types[col]).alias(name))
-                dec_aggs.append(F.min(F.col(col)).alias(name))
-        else:  # max
-            if kinds[col] == "int":
-                meta_aggs.append(
-                    F.max(
-                        F.when(F.col("column") == col, F.col("stat_max").cast("long"))
-                    ).alias(name)
-                )
-                dec_aggs.append(F.max(F.col(col)).cast("long").alias(name))
-            else:
-                meta_aggs.append(F.lit(None).cast(sql_types[col]).alias(name))
-                dec_aggs.append(F.max(F.col(col)).alias(name))
+                dec_aggs.append(agg(F.col(col)).alias(name))
     # ---- decode half (partial + delete-touched partitions only) ------------
     needed = sorted(
         {c for _, c in aggs if c != "*"}

@@ -175,11 +175,15 @@ def check_store(
                 dec_aggs.append(agg(F.col(col)).cast("long").alias(tag))
             else:
                 # exact string extrema from the sorted distinct set (the
-                # truncated stat_min/stat_max bounds are NOT exact)
-                idx = 1 if name == "min_at_least" else -1
-                meta_aggs.append(
-                    agg(F.when(w, F.element_at(dset(col), idx))).alias(tag)
+                # truncated stat_min/stat_max bounds are NOT exact).
+                # F.get, not element_at: an EMPTY set (all-null partition)
+                # must yield NULL — element_at throws under ANSI mode
+                src = (
+                    F.get(dset(col), 0)
+                    if name == "min_at_least"
+                    else F.get(dset(col), F.size(dset(col)) - 1)
                 )
+                meta_aggs.append(agg(F.when(w, src)).alias(tag))
                 dec_aggs.append(agg(F.col(col)).alias(tag))
 
     meta_row = meta.agg(*meta_aggs).collect()[0].asDict()

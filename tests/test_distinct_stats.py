@@ -433,3 +433,43 @@ def test_groupby_distinct_only(spark, tmp_path):
     tr = sorted([r.asDict() for r in truth], key=lambda r: r["grp"])
     got = sorted([r.asDict() for r in out.collect()], key=lambda r: r["grp"])
     assert got == tr
+
+
+def test_string_minmax_metadata_only(spark, tmp_path):
+    """MIN/MAX on a low-cardinality string column answer from the exact
+    sets — zero decode — and an all-null string column contributes NULL
+    (the empty set must not trip ANSI element_at errors)."""
+    df = spark.range(0, 8_000).select(
+        (F.col("id") % 8).cast("int").alias("grp"),
+        F.col("id").alias("k"),
+        F.concat(F.lit("cat"), (F.col("id") % 7).cast("string")).alias("cat"),
+        F.lit(None).cast("string").alias("allnull"),
+    )
+    root = _encode(spark, df, tmp_path, "strmm")
+    out, plan = aggregate_store(
+        spark, root,
+        [("min", "cat"), ("max", "cat"), ("min", "allnull"), ("max", "k")],
+        return_plan=True,
+    )
+    assert plan["pids_decoded"] == 0
+    r = out.collect()[0]
+    assert (r["min_cat"], r["max_cat"]) == ("cat0", "cat6")
+    assert r["min_allnull"] is None
+    assert r["max_k"] == 7_999
+
+
+def test_string_minmax_high_cardinality_decodes(spark, tmp_path):
+    """Set-less string partitions (high cardinality) fall to decode and
+    the combined extrema stay exact."""
+    df = spark.range(0, 4_000).select(
+        (F.col("id") % 4).cast("int").alias("grp"),
+        F.col("id").alias("k"),
+        F.concat(F.lit("u"), F.format_string("%06d", F.col("id"))).alias("uid"),
+    )
+    root = _encode(spark, df, tmp_path, "strmm_hc")
+    out, plan = aggregate_store(
+        spark, root, [("min", "uid"), ("max", "uid")], return_plan=True
+    )
+    assert plan["pids_decoded"] == plan["pids_total"]
+    r = out.collect()[0]
+    assert (r["min_uid"], r["max_uid"]) == ("u000000", "u003999")

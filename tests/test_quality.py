@@ -134,3 +134,23 @@ def test_check_validation(spark, tmp_path):
         check_store(spark, root, [("no_nulls", "nope", None)])
     with pytest.raises(ValueError):
         check_store(spark, root, [("row_count_between", None, (5, 1))])
+
+
+def test_bound_checks_on_all_null_string(spark, tmp_path):
+    """An all-null string column's EMPTY sets must not trip ANSI
+    element_at: bound checks are vacuously true, domain check passes."""
+    df = spark.range(0, 2_000).select(
+        (F.col("id") % 2).cast("int").alias("grp"),
+        F.col("id").alias("k"),
+        F.lit(None).cast("string").alias("lang"),
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("uid"),
+    )
+    root = _store(spark, tmp_path, df, name="qallnull")
+    res = _results(check_store(spark, root, [
+        ("min_at_least", "lang", "a"),
+        ("max_at_most", "lang", "zzz"),
+        ("values_in_set", "lang", ["x"]),
+        ("null_fraction_at_most", "lang", 1.0),
+    ]))
+    assert all(passed for passed, _ in res.values()), res
+    assert res[("min_at_least", "lang")][1] == "no non-null values"

@@ -402,7 +402,7 @@ def compact_store(
     return spec_df.mapInArrow(rewrite, schema=SUMMARY_SCHEMA)
 
 
-def gc_store(root: str, min_age_s: float = 0.0) -> dict:
+def gc_store(root: str, min_age_s: float = 0.0, keep_snapshots: int = 0) -> dict:
     """Remove artifacts no committed partition references — the
     ``remove_orphan_files`` analog. Orphans exist by design: a task killed
     between blob write and marker creation leaves an invisible (never
@@ -413,6 +413,15 @@ def gc_store(root: str, min_age_s: float = 0.0) -> dict:
     ``min_age_s`` guards in-flight work in production (an encode job's
     partitions are uncommitted until their marker lands): only artifacts
     older than this are touched. Tests pass 0.
+
+    ``keep_snapshots`` is a retention horizon: keep that many of the
+    newest SUPERSEDED snapshots (ref-pinned ones survive regardless) so
+    time-travel readers and readStream checkpoints that lag the head —
+    a stream's next micro-batch diffs against its last COMMITTED version
+    (sources/datasource.py ParzigStreamReader.partitions) — still find
+    their snapshot. Streams that pass ``streamId`` pin themselves with a
+    branch ref instead; this horizon is the defense for ones that don't
+    (Iceberg ``expire_snapshots(retain_last=N)`` analog).
 
     Driver-side listdir of blob/manifest dirs — O(partitions); at real
     scale this runs as a periodic maintenance job exactly like Iceberg's.
@@ -525,8 +534,11 @@ def gc_store(root: str, min_age_s: float = 0.0) -> dict:
     # superseded snapshots (readers only ever open the latest)
     snap_dir = os.path.join(root, "snapshots")
     if os.path.isdir(snap_dir):
-        snaps = sorted(f for f in os.listdir(snap_dir) if f.endswith(".parquet"))
-        for f in snaps[:-1]:
+        snaps = sorted(
+            (f for f in os.listdir(snap_dir) if f.endswith(".parquet")),
+            key=lambda f: int(f[len("snap-"):-len(".parquet")]),
+        )
+        for f in snaps[: -(1 + max(0, int(keep_snapshots)))]:
             if int(f[len("snap-"):-len(".parquet")]) in pinned:
                 continue  # ref-pinned snapshot: live until the ref drops
             fp = os.path.join(snap_dir, f)

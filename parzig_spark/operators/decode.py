@@ -11,7 +11,9 @@ blobs are opened.
 
 from __future__ import annotations
 
+import datetime
 import json
+
 import pandas as pd
 import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
@@ -517,8 +519,18 @@ def _page_may_match(
             # column): undecidable here — keep the page, mirroring the
             # partition-level twin where cast('double') nulls out
             return True
-    else:
+    elif isinstance(val, str):
         lo, hi, v = str(pmin), str(pmax), str(val)
+    elif isinstance(val, datetime.date) and not isinstance(val, datetime.datetime):
+        # date stats are str(datetime.date) == ISO "YYYY-MM-DD": fixed
+        # width, so lexicographic order == chronological order
+        lo, hi, v = str(pmin), str(pmax), val.isoformat()
+    else:
+        # decimal.Decimal, datetime.datetime (tz canonicalization differs
+        # between the stored str() and the literal), bytes, ...: a str()
+        # coercion compares lexicographically against numeric stat strings
+        # and can wrongly prune ('100.00' <= '20') — keep, never guess
+        return True
     if op == ">=":
         return not hi < v
     if op == ">":

@@ -67,16 +67,38 @@ _STAT_COLS = [
 ]
 
 
+def _prunable_literal(v) -> bool:
+    """Literal types the pruning twins (_page_may_match /
+    _distinct_may_match / the stat-table masks) compare soundly: strings,
+    non-bool numbers, and dates (ISO stat strings order lexicographically).
+    decimal.Decimal / datetime.datetime / bytes / bool don't prune — a
+    str() coercion against numeric stat strings compares lexicographically
+    and can wrongly drop partitions (silent row loss)."""
+    import datetime
+
+    if isinstance(v, bool):
+        return False
+    if isinstance(v, (str, int, float)):
+        return True
+    return isinstance(v, datetime.date) and not isinstance(v, datetime.datetime)
+
+
 def _translate(f):
     """Catalyst Filter -> (column, op, value) predicate triple, or None for
     shapes the store's pruning doesn't speak (nested attributes, IsNull,
-    Not, ...) — untranslated filters simply don't prune."""
+    Not, unprunable literal types, ...) — untranslated filters simply
+    don't prune (Spark re-applies every filter row-level regardless)."""
     op = _OPS.get(type(f))
     if op is None or len(f.attribute) != 1:
         return None
     col = f.attribute[0]
     if op == "in":
-        return (col, "in", tuple(f.value))
+        vals = tuple(f.value)
+        if not all(_prunable_literal(v) for v in vals):
+            return None
+        return (col, "in", vals)
+    if not _prunable_literal(f.value):
+        return None
     return (col, op, f.value)
 
 
@@ -159,6 +181,10 @@ class ParzigReader(DataSourceReader):
         from ..operators.decode import decode_pid_rows, decoded_schema
         from ..plans.manifest import ManifestStore
 
+        if partition is None:
+            # fully-pruned scan (or empty store): partitions() returned []
+            # and PySpark substitutes a single None partition — zero rows
+            return
         store = ManifestStore(self.root)
         cols, _ddl, casts = decoded_schema(store, self.columns)
         pid = partition.pid
@@ -192,7 +218,20 @@ class ParzigStreamReader(DataSourceStreamReader):
     rows under new pids (append-mostly stores are the intended shape —
     same caveat as changes_table). ``starting`` option: ``latest``
     (default — stream only snapshots sealed after the query starts) or
-    ``earliest`` (first batch replays the whole current view)."""
+    ``earliest`` (first batch replays the whole current view).
+
+    GC safety: ``partitions(start, end)`` needs the START version's
+    snapshot file to compute the batch's pid delta, but the offset lives
+    in the sink's checkpoint — if ``gc_store`` reclaims that superseded
+    snapshot between micro-batches (or while the query is down), the
+    stream can never plan its next batch. Pass ``streamId`` to pin the
+    stream's progress with a branch-ref pair ``stream-<id>`` /
+    ``stream-<id>.from`` advanced at every planning step — a crashed
+    query re-executes its in-flight batch from the offsets log, so BOTH
+    the batch's start and end snapshots stay live (drop both refs when
+    the stream is retired). Without one, run ``gc_store`` with a
+    ``keep_snapshots`` horizon covering the stream's worst-case
+    checkpoint lag."""
 
     def __init__(self, options, schema_cols: list[str]):
         from ..plans.manifest import ManifestStore
@@ -206,6 +245,23 @@ class ParzigStreamReader(DataSourceStreamReader):
         self.starting = options.get("starting", "latest")
         if self.starting not in ("latest", "earliest"):
             raise ValueError("parzig: starting must be 'latest' or 'earliest'")
+        stream_id = options.get("streamid") or options.get("streamId")
+        self.pin_ref = f"stream-{stream_id}" if stream_id else None
+
+    def _pin(self, lo: int, hi: int) -> None:
+        """Advance the stream's gc pins: ``<ref>.from`` at the in-flight
+        batch's start version, ``<ref>`` at its end — a restart re-executes
+        the batch from the offsets log, so both snapshots (and the
+        partitions/delete-ops they reference) must outlive gc_store.
+        Driver-side, metadata-scale; create_ref on a branch re-points."""
+        if self.pin_ref is None:
+            return
+        from ..operators.refs import create_ref
+
+        if lo >= 0:
+            create_ref(self.root, f"{self.pin_ref}.from", "branch", lo)
+        if hi >= 0:
+            create_ref(self.root, self.pin_ref, "branch", hi)
 
     def _versions(self) -> list[int]:
         snap_dir = os.path.join(self.root, "snapshots")
@@ -221,7 +277,9 @@ class ParzigStreamReader(DataSourceStreamReader):
         if self.starting == "earliest":
             return {"version": -1}
         vs = self._versions()
-        return {"version": vs[-1] if vs else -1}
+        v = vs[-1] if vs else -1
+        self._pin(v, v)
+        return {"version": v}
 
     def latestOffset(self) -> dict:
         vs = self._versions()
@@ -229,6 +287,7 @@ class ParzigStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         v0, v1 = int(start["version"]), int(end["version"])
+        self._pin(v0, v1)
         if v1 <= v0 or v1 < 0:
             return []
         new_pids = self.store.snapshot_pids(v1) - (
@@ -241,6 +300,8 @@ class ParzigStreamReader(DataSourceStreamReader):
         from ..operators.decode import decode_pid_rows, decoded_schema
         from ..plans.manifest import ManifestStore
 
+        if partition is None:
+            return  # empty micro-batch planned as [None] — zero rows
         store = ManifestStore(self.root)
         cols, _ddl, casts = decoded_schema(store, self.columns)
         mt = pq.read_table(
@@ -254,7 +315,11 @@ class ParzigStreamReader(DataSourceStreamReader):
         )
 
     def commit(self, end: dict) -> None:
-        pass  # offsets live in the query checkpoint; nothing to release
+        # offsets live in the query checkpoint; with a streamId, release
+        # the lower pin up to the committed version (the next batch — and
+        # any restart — diffs from `end`, never from anything older)
+        v = int(end["version"])
+        self._pin(v, v)
 
 
 class ParzigDataSource(DataSource):

@@ -182,3 +182,7 @@ def test_aggregate_rejects_bad_input(spark, tmp_path):
         aggregate_store(spark, root, [("sum", "*")])
     with pytest.raises(ValueError, match="unknown column"):
         aggregate_store(spark, root, [("sum", "nope")])
+    # ADVICE r4 #4: ("distinct","*") must fail upfront with a clear
+    # ValueError, never a KeyError deep in the COUNT(DISTINCT) branch
+    with pytest.raises(ValueError, match="name a column"):
+        aggregate_store(spark, root, [("distinct", "*")])

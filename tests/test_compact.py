@@ -161,6 +161,32 @@ def test_gc_store_reclaims_only_orphans(spark, fragmented, tmp_path):
     assert report["ok"], report
 
 
+def test_gc_keep_snapshots_horizon(spark, fragmented, tmp_path):
+    """keep_snapshots retains the newest N superseded snapshots (readStream
+    checkpoint-lag defense); retention picks survivors by numeric version."""
+    _, src_root = fragmented
+    root = str(tmp_path / "store")
+    shutil.copytree(src_root, root)
+    store = ManifestStore(root)
+    store.fresh_snapshot()
+    for _ in range(5):
+        store.write_snapshot()
+
+    def versions():
+        d = os.path.join(root, "snapshots")
+        return sorted(
+            int(f[len("snap-"):-len(".parquet")])
+            for f in os.listdir(d) if f.endswith(".parquet")
+        )
+
+    all_vs = versions()
+    stats = gc_store(root, min_age_s=0, keep_snapshots=2)
+    assert versions() == all_vs[-3:]  # latest + 2 retained
+    assert stats["old_snapshots"] == len(all_vs) - 3
+    gc_store(root, min_age_s=0)
+    assert versions() == [all_vs[-1]]  # horizon 0: latest only, NUMERICALLY
+
+
 def test_compact_sorted_paged_rewrite_tightens_page_pruning(
     spark, fragmented, tmp_path
 ):

@@ -93,6 +93,60 @@ def test_columns_option_projects(spark, tmp_path):
     assert df.count() == 6_000
 
 
+def test_fully_pruned_scan_returns_zero_rows(spark, tmp_path):
+    """partitions() returning [] makes PySpark call read(None) — the scan
+    must yield zero rows, not AttributeError (ADVICE r4 #1)."""
+    root = _store(spark, tmp_path, name="dsnone")
+    register_datasource(spark)
+    df = spark.read.format("parzig").load(root)
+    # 'zz' sorts above every 'catN': min/max pruning drops ALL partitions
+    assert df.where("cat = 'zz'").count() == 0
+    assert df.where(F.col("cat").startswith("nope")).count() == 0
+    # reader-level: the pushed filter really does prune everything
+    reader = ParzigReader({"path": root}, ["grp", "k", "cat"])
+    reader.pushFilters([EqualTo(("cat",), "zz")])
+    assert reader.partitions() == []
+    assert list(reader.read(None)) == []
+
+
+def test_unprunable_literals_never_prune(spark, tmp_path):
+    """Decimal / datetime / bool literals must not reach the lexicographic
+    stat comparison — str(Decimal('20')) vs '100.00' wrongly prunes
+    (ADVICE r4 #2). They keep every partition; dates still prune (ISO
+    stats order lexicographically)."""
+    import datetime
+    from decimal import Decimal
+
+    from parzig_spark.operators.decode import _page_may_match
+    from parzig_spark.sources.datasource import _translate
+
+    # the advice's exact failure: dec_col > 20 with stat_max '100.00'
+    assert _page_may_match(">", Decimal("20"), "1.00", "100.00") is True
+    assert _page_may_match("==", Decimal("20"), "1.00", "100.00") is True
+    assert _page_may_match("<", datetime.datetime(2024, 1, 5), "2024-01-01 00:00:00+00:00", "2024-01-09 00:00:00+00:00") is True
+    # dates are canonical: fixed-width ISO strings prune soundly
+    assert _page_may_match("==", datetime.date(2024, 2, 1), "2024-01-01", "2024-01-09") is False
+    assert _page_may_match("==", datetime.date(2024, 1, 5), "2024-01-01", "2024-01-09") is True
+    # the datasource refuses to translate unprunable literal types at all
+    from pyspark.sql.datasource import GreaterThan
+    assert _translate(GreaterThan(("d",), Decimal("20"))) is None
+    assert _translate(EqualTo(("b",), True)) is None
+    assert _translate(In(("d",), (Decimal("1"), Decimal("2")))) is None
+    assert _translate(GreaterThan(("k",), 5)) == ("k", ">", 5)
+
+    # end-to-end: a decimal WHERE through SQL stays row-exact
+    root = str(tmp_path / "dsdec")
+    src = spark.createDataFrame(
+        [(i, Decimal(i) * 10) for i in range(200)], "k long, price decimal(10,2)"
+    )
+    encode_table(src, root, group_cols=["k"], salt_cols=["k"],
+                 target_bytes=16 << 10, resume=False).count()
+    register_datasource(spark)
+    df = spark.read.format("parzig").load(root)
+    assert df.where("price > 20").count() == 197
+    assert df.where("price = 500.00").count() == 1
+
+
 def test_stream_reader_tails_snapshots(spark, tmp_path):
     """readStream over the store: batch 1 streams the current view
     (starting=earliest), a second availableNow run on the SAME checkpoint
@@ -134,3 +188,53 @@ def test_stream_reader_tails_snapshots(spark, tmp_path):
     ManifestStore(root).write_snapshot()
     # cumulative sink now holds both batches, each delivered exactly once
     assert drain() == list(range(3_000))
+
+
+def test_stream_pin_survives_gc(spark, tmp_path):
+    """ADVICE r4 #3: gc_store between micro-batches reclaims the superseded
+    snapshot a checkpointed stream must diff against. With streamId, the
+    stream pins its committed version via a branch ref, so gc keeps it and
+    the next drain still plans (and delivers exactly the new rows)."""
+    from parzig_spark.operators.compact import gc_store
+    from parzig_spark.operators.refs import read_ref
+
+    root = str(tmp_path / "dsgc")
+    common = dict(group_cols=["grp"], salt_cols=["k"], target_bytes=64 << 10)
+    encode_table(
+        _src(spark, 1_200), root, resume=False, pid_namespace=1,
+        bucket_bits=16, **common,
+    ).count()
+    ManifestStore(root).write_snapshot()
+    register_datasource(spark)
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out.parquet")
+
+    def drain():
+        q = (
+            spark.readStream.format("parzig")
+            .option("starting", "earliest").option("streamId", "t1").load(root)
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        return sorted(r["k"] for r in spark.read.parquet(out).select("k").collect())
+
+    assert drain() == list(range(1_200))
+    rec = read_ref(root, "stream-t1")
+    assert rec is not None and rec["kind"] == "branch"
+    pinned_v = rec["snapshot"]
+    # new batch + snapshot, then gc: the pinned snapshot must survive
+    encode_table(
+        _src(spark, 2_000).where("k >= 1200"), root, resume=True,
+        pid_namespace=2, bucket_bits=16, **common,
+    ).count()
+    ManifestStore(root).write_snapshot()
+    gc_store(root, min_age_s=0)
+    snap_dir = ManifestStore(root).root + "/snapshots"
+    import os
+    assert os.path.exists(
+        os.path.join(snap_dir, f"snap-{pinned_v:06d}.parquet")
+    ), "gc must keep the stream-pinned snapshot"
+    assert drain() == list(range(2_000))
+    # the pin advanced with the commit
+    assert read_ref(root, "stream-t1")["snapshot"] > pinned_v

@@ -219,6 +219,80 @@ def plan_partitions(
     return out.withColumn("pid", pid).drop("_nsalt"), n_buckets
 
 
+def encode_partition_arrays(
+    store_root: str,
+    pid: int,
+    table: pa.Table,
+    columns: list[str],
+    *,
+    outer: str | None = "auto",
+    codec_overrides: dict[str, str] | None = None,
+    codec_plan: dict[str, str] | None = None,
+    plan_lineage: dict[str, str] | None = None,
+    page_values: int | None = None,
+) -> tuple[list[dict], dict[str, bytes]]:
+    """Encode ONE partition's table into (manifest rows, blobs) — the
+    per-pid kernel shared by the mapInArrow encode task and the DataSource
+    writer (sources/datasource.py ParzigWriter). Pure function of the data
+    (plus the codec plan), so retried tasks produce byte-identical blobs."""
+    local_store = ManifestStore(store_root)
+    rows, blobs = [], {}
+    for column in columns:
+        # zero-copy bucket slice: every scalar/list codec path (and
+        # column_digest/column_minmax/nbytes) is slice-aware, so the
+        # per-bucket compaction copy is skipped — one less full data
+        # pass per task. Map/struct compact: their offsets/field
+        # accessors don't normalize slices across pyarrow versions.
+        col = table.column(column)
+        arr = col.chunk(0) if col.num_chunks == 1 else col.combine_chunks()
+        if arr.offset and (
+            pa.types.is_map(arr.type) or pa.types.is_struct(arr.type)
+        ):
+            arr = pa.concat_arrays([arr])
+        t0 = time.perf_counter()
+        override = (codec_overrides or {}).get(column)
+        planned = (codec_plan or {}).get(column)
+        if override is not None:
+            codec = override
+            lineage_json = json.dumps({"plan": "override"}, separators=(",", ":"))
+        elif planned is not None:
+            codec, lineage_json = planned, plan_lineage[column]
+        else:
+            codec, lineage = choose_codec(arr, outer=outer)
+            lineage_json = json.dumps(lineage, separators=(",", ":"))
+        blob, meta = encode_column(arr, codec, outer=outer, page_values=page_values)
+        dt = time.perf_counter() - t0
+        digest = column_digest(arr)
+        smin, smax = column_minmax(arr)
+        sbloom, sbloom_dom = column_bloom(arr)
+        ssum, snulls = column_agg_stats(arr)
+        sdistinct = column_distinct(arr)
+        blobs[column] = blob
+        rows.append(
+            {
+                "stat_min": smin,
+                "stat_max": smax,
+                "stat_bloom": sbloom,
+                "stat_bloom_dom": sbloom_dom,
+                "stat_sum": ssum,
+                "stat_nulls": snulls,
+                "stat_distinct": sdistinct,
+                "pid": pid,
+                "column": column,
+                "codec": codec,
+                "n_values": len(arr),
+                "raw_bytes": arr.nbytes,
+                "enc_bytes": len(blob),
+                "meta_json": json.dumps(meta, separators=(",", ":")),
+                "lineage_json": lineage_json,
+                "sha256": digest,
+                "encode_s": dt,
+                "blob_file": local_store.blob_path(pid, column),
+            }
+        )
+    return rows, blobs
+
+
 def encode_table(
     df: DataFrame,
     store_root: str,
@@ -410,60 +484,11 @@ def encode_table(
         for s, e in zip(starts, ends):
             pid = int(pids_np[s])
             table = data_t.slice(s, e - s)
-            rows, blobs = [], {}
-            for column in data_cols:
-                # zero-copy bucket slice: every scalar/list codec path (and
-                # column_digest/column_minmax/nbytes) is slice-aware, so the
-                # per-bucket compaction copy is skipped — one less full data
-                # pass per task. Map/struct compact: their offsets/field
-                # accessors don't normalize slices across pyarrow versions.
-                col = table.column(column)
-                arr = col.chunk(0) if col.num_chunks == 1 else col.combine_chunks()
-                if arr.offset and (
-                    pa.types.is_map(arr.type) or pa.types.is_struct(arr.type)
-                ):
-                    arr = pa.concat_arrays([arr])
-                t0 = time.perf_counter()
-                override = (codec_overrides or {}).get(column)
-                planned = codec_plan.get(column)
-                if override is not None:
-                    codec = override
-                    lineage_json = json.dumps({"plan": "override"}, separators=(",", ":"))
-                elif planned is not None:
-                    codec, lineage_json = planned, plan_lineage[column]
-                else:
-                    codec, lineage = choose_codec(arr, outer=outer)
-                    lineage_json = json.dumps(lineage, separators=(",", ":"))
-                blob, meta = encode_column(arr, codec, outer=outer, page_values=page_values)
-                dt = time.perf_counter() - t0
-                digest = column_digest(arr)
-                smin, smax = column_minmax(arr)
-                sbloom, sbloom_dom = column_bloom(arr)
-                ssum, snulls = column_agg_stats(arr)
-                sdistinct = column_distinct(arr)
-                blobs[column] = blob
-                rows.append(
-                    {
-                        "stat_min": smin,
-                        "stat_max": smax,
-                        "stat_bloom": sbloom,
-                        "stat_bloom_dom": sbloom_dom,
-                        "stat_sum": ssum,
-                        "stat_nulls": snulls,
-                        "stat_distinct": sdistinct,
-                        "pid": pid,
-                        "column": column,
-                        "codec": codec,
-                        "n_values": len(arr),
-                        "raw_bytes": arr.nbytes,
-                        "enc_bytes": len(blob),
-                        "meta_json": json.dumps(meta, separators=(",", ":")),
-                        "lineage_json": lineage_json,
-                        "sha256": digest,
-                        "encode_s": dt,
-                        "blob_file": local_store.blob_path(pid, column),
-                    }
-                )
+            rows, blobs = encode_partition_arrays(
+                store_root, pid, table, data_cols, outer=outer,
+                codec_overrides=codec_overrides, codec_plan=codec_plan,
+                plan_lineage=plan_lineage, page_values=page_values,
+            )
             already = local_store.is_committed(pid)
             if not already:
                 local_store.write_partition(pid, rows, blobs)

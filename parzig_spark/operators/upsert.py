@@ -47,7 +47,7 @@ from pyspark.sql import functions as F
 
 from ..codecs import encode_u64
 from ..plans.manifest import ManifestStore
-from ..streaming.encode_stream import claim_namespace
+from ..plans.manifest import claim_namespace
 from .decode import decode_table
 from .delete import DELETE_SUMMARY_SCHEMA, load_delete_mask
 from .encode import encode_table

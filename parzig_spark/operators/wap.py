@@ -43,7 +43,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.manifest import ManifestStore
-from ..streaming.encode_stream import claim_namespace
+from ..plans.manifest import claim_namespace
 from .encode import encode_table
 from .inspect import rollback_store
 from .refs import create_ref, drop_ref, read_ref, resolve_ref

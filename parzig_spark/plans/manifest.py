@@ -154,8 +154,17 @@ class ManifestStore:
             if f.startswith("_committed_")
         }
 
-    def write_partition(self, pid: int, rows: list[dict], blobs: dict[str, bytes]) -> None:
-        """Atomic per-partition commit: blobs → manifest → marker."""
+    def write_partition(
+        self, pid: int, rows: list[dict], blobs: dict[str, bytes],
+        commit: bool = True,
+    ) -> None:
+        """Atomic per-partition commit: blobs → manifest → marker.
+
+        ``commit=False`` stages the data WITHOUT the marker (invisible to
+        every reader) — the executor half of a two-phase write like the
+        DataSource writer, whose driver-side commit() later seals exactly
+        the partitions its tasks reported via :meth:`commit_partition`.
+        Uncommitted leftovers from failed attempts are gc_store orphans."""
         if self.is_committed(pid):
             return  # retry of an already-committed partition: no-op
         tmp_tag = uuid.uuid4().hex[:8]
@@ -172,7 +181,12 @@ class ManifestStore:
         tmp = final + f".tmp-{tmp_tag}"
         pq.write_table(table, tmp)
         os.replace(tmp, final)
-        # O_CREAT|O_EXCL marker: creation is the commit point.
+        if commit:
+            self.commit_partition(pid)
+
+    def commit_partition(self, pid: int) -> None:
+        """Seal a staged partition: O_CREAT|O_EXCL marker creation is the
+        commit point (idempotent — a second sealer is a no-op)."""
         try:
             fd = os.open(self._marker_path(pid), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             os.close(fd)
@@ -411,3 +425,60 @@ class ManifestStore:
             filters=[("column", "=", column)],
         )
         return json.loads(t.column("meta_json")[0].as_py())
+
+
+def claim_namespace(store_root: str, namespace: int, digest_hex: str) -> None:
+    """Loud cross-batch aliasing guard: even a (47-bit) namespace collision
+    can never silently drop rows — the namespace is claimed with the FULL
+    256-bit batch fingerprint via an O_EXCL marker; a different batch landing
+    on a claimed namespace fails here instead of being anti-joined away,
+    while an identical replayed batch (crash recovery) matches and proceeds
+    to its normal resume skip."""
+    d = os.path.join(store_root, "namespaces")
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, f"ns_{namespace}")
+    # Write-then-hardlink: the marker appears atomically WITH its digest.
+    # (An O_EXCL create followed by a write can crash in between, leaving an
+    # empty marker that would permanently reject replays of the same batch.)
+    existing = None
+    for _ in range(4):
+        tmp = os.path.join(d, f".tmp-{namespace}-{os.getpid()}-{digest_hex[:8]}")
+        with open(tmp, "w") as f:
+            f.write(digest_hex)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, path)  # atomic claim: fails iff the marker exists
+            return
+        except FileExistsError:
+            pass
+        finally:
+            os.unlink(tmp)
+        try:
+            with open(path) as f:
+                existing = f.read()
+        except FileNotFoundError:
+            continue  # a racing adopter unlinked it — retry the atomic claim
+        if existing != "":
+            break
+        # Partial marker from a pre-fix crash window: no batch ever owned it
+        # (the digest never landed). Unlink it and RETRY the atomic link —
+        # an unconditional rewrite here would let two concurrent batches
+        # both adopt the namespace; with unlink+link exactly one wins and
+        # the loser falls through to the digest comparison below.
+        try:
+            os.unlink(path)
+        except FileNotFoundError:
+            pass
+    else:
+        raise RuntimeError(
+            f"claim_namespace: could not claim namespace {namespace} in "
+            f"{store_root} after repeated empty-marker races"
+        )
+    if existing != digest_hex:
+        raise RuntimeError(
+            f"pid namespace collision in {store_root}: namespace {namespace} "
+            f"was claimed by a different batch (fingerprint {existing[:16]}… "
+            f"!= {digest_hex[:16]}…) — refusing to encode; rows would be "
+            "silently dropped by the resume anti-join"
+        )

@@ -39,6 +39,7 @@ import os
 import pyarrow.parquet as pq
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
     EqualTo,
@@ -49,6 +50,7 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     StringStartsWith,
+    WriterCommitMessage,
 )
 
 _OPS = {
@@ -322,9 +324,180 @@ class ParzigStreamReader(DataSourceStreamReader):
         self._pin(v, v)
 
 
+class ParzigCommitMessage(WriterCommitMessage):
+    """One write task's staged output: the pids it wrote (marker-less),
+    the 47-bit content namespace they live under, and the full 256-bit
+    content fingerprint that claims it at commit time."""
+
+    def __init__(self, pids: tuple, namespace: int, digest: str, n_rows: int):
+        self.pids = tuple(int(p) for p in pids)
+        self.namespace = int(namespace)
+        self.digest = digest
+        self.n_rows = int(n_rows)
+
+
+# 16 bucket bits per write task (65k byte-bounded slices each) leaves a
+# 47-bit content namespace — same layout as the streaming encode front-end.
+_WRITER_BUCKET_BITS = 16
+
+
+class ParzigWriter(DataSourceArrowWriter):
+    """``df.write.format("parzig").mode("append").save(root)`` — the
+    SQL-native write half (INSERT INTO / CTAS through a registered table).
+
+    Two-phase, Iceberg-shaped commit protocol on top of the store's marker
+    discipline:
+
+    - ``write`` (executor, per task): the task's Arrow batches concat, sort
+      canonically (every scalar column, ascending, nulls last), fingerprint
+      (sha256 over the per-column content digests), and encode into
+      target_bytes-bounded partitions whose pids live under the 47-bit
+      content namespace — blobs + manifests land WITHOUT commit markers,
+      so failed/speculative attempts stay invisible (gc_store orphans).
+      A retried task re-derives the same pids from the same data and
+      overwrites byte-identically.
+    - ``commit`` (driver, all tasks green): claim each task's namespace
+      with its full fingerprint (loud cross-write aliasing guard — the
+      streaming front-end's claim protocol), seal exactly the reported
+      pids, and publish one snapshot. ``abort`` deletes the staged files.
+
+    Partition sizing follows the incoming DataFrame's partitioning (one
+    content-derived pid group per task, sliced at ``target_bytes``) — at
+    cluster scale callers ``repartition``/bucket the write side exactly as
+    they would for any file-format sink. The reference has no write path
+    at all (decode-only Zig reader); this is the engine's own surface.
+
+    Options: ``path`` (store root), ``target_bytes`` (slice bound,
+    default 64 MiB), ``outer`` (block codec, default auto)."""
+
+    def __init__(self, options, schema):
+        from ..plans.manifest import FORMAT_VERSION, ManifestStore
+
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError("parzig: pass the store root via .save(path)")
+        self.target_bytes = int(options.get("target_bytes", 64 << 20))
+        self.outer = options.get("outer", "auto")
+        self.columns = list(schema.names)
+        cfg_path = os.path.join(self.root, "store_config.json")
+        store = ManifestStore(self.root)
+        if os.path.exists(cfg_path):
+            # appending to an existing store: the writer doesn't use the
+            # store's pid planning (its pids are content-namespaced), so
+            # only format + column-set compatibility matter
+            store.check_format()
+            with open(cfg_path) as f:
+                existing = json.load(f)
+            if set(existing.get("columns", [])) != set(self.columns):
+                raise ValueError(
+                    f"parzig writer: store {self.root} has columns "
+                    f"{existing.get('columns')}, dataframe has {self.columns}"
+                )
+            self.columns = list(existing["columns"])  # decode order
+        else:
+            store.ensure_config(
+                {
+                    "format": FORMAT_VERSION,
+                    "group_cols": [],
+                    "salt_cols": [],
+                    "sort_cols": self.columns,
+                    "size_col": None,
+                    "target_bytes": self.target_bytes,
+                    "columns": self.columns,
+                    "writer": "datasource",
+                }
+            )
+
+    def write(self, iterator):
+        import hashlib
+
+        import pyarrow as pa
+
+        from ..operators.encode import column_digest, encode_partition_arrays
+        from ..plans.manifest import ManifestStore
+
+        batches = list(iterator)
+        if not batches:
+            return ParzigCommitMessage((), 0, "", 0)
+        full = pa.Table.from_batches(batches).select(self.columns)
+        if full.num_rows == 0:
+            return ParzigCommitMessage((), 0, "", 0)
+        sort_cols = [
+            f.name for f in full.schema
+            if not (pa.types.is_nested(f.type))
+        ]
+        if sort_cols:
+            # canonical order (ascending, nulls at end — encode_table's
+            # ordering): pids become pure functions of the task's DATA,
+            # so retries and speculative twins converge byte-identically
+            full = full.sort_by([(c, "ascending") for c in sort_cols])
+        h = hashlib.sha256()
+        for c in self.columns:
+            col = full.column(c)
+            arr = col.chunk(0) if col.num_chunks == 1 else col.combine_chunks()
+            h.update(column_digest(arr).encode())
+        digest = h.digest()
+        namespace = int.from_bytes(digest[:6], "big") >> 1  # 47-bit
+        n_slices = max(1, -(-full.nbytes // self.target_bytes))
+        n_slices = min(n_slices, 1 << _WRITER_BUCKET_BITS)
+        rows_per = -(-full.num_rows // n_slices)
+        store = ManifestStore(self.root)
+        pids = []
+        for i in range(n_slices):
+            part = full.slice(i * rows_per, rows_per)
+            if part.num_rows == 0:
+                break
+            pid = (namespace << _WRITER_BUCKET_BITS) | i
+            rows, blobs = encode_partition_arrays(
+                self.root, pid, part, self.columns, outer=self.outer
+            )
+            store.write_partition(pid, rows, blobs, commit=False)
+            pids.append(pid)
+        return ParzigCommitMessage(tuple(pids), namespace, digest.hex(), full.num_rows)
+
+    def commit(self, messages) -> None:
+        from ..plans.manifest import ManifestStore
+        from ..plans.manifest import claim_namespace
+
+        store = ManifestStore(self.root)
+        sealed = 0
+        for m in messages:
+            if m is None or not m.pids:
+                continue
+            claim_namespace(self.root, m.namespace, m.digest)
+            for pid in m.pids:
+                store.commit_partition(pid)
+                sealed += 1
+        if sealed:
+            store.write_snapshot()
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        from ..plans.manifest import ManifestStore
+
+        store = ManifestStore(self.root)
+        for m in messages:
+            if m is None:
+                continue
+            for pid in getattr(m, "pids", ()):
+                if store.is_committed(pid):
+                    continue  # never touch sealed data
+                shutil.rmtree(
+                    os.path.join(store.blob_dir, str(pid)), ignore_errors=True
+                )
+                try:
+                    os.unlink(
+                        os.path.join(store.manifest_dir, f"part-{pid}.parquet")
+                    )
+                except FileNotFoundError:
+                    pass
+
+
 class ParzigDataSource(DataSource):
     """spark.dataSource.register(ParzigDataSource); then
-    ``spark.read.format("parzig").load(root)``."""
+    ``spark.read.format("parzig").load(root)`` /
+    ``df.write.format("parzig").mode("append").save(root)``."""
 
     @classmethod
     def name(cls) -> str:
@@ -357,6 +530,15 @@ class ParzigDataSource(DataSource):
         return ParzigStreamReader(
             dict(self.options), [f.name for f in schema.fields]
         )
+
+    def writer(self, schema, overwrite: bool) -> ParzigWriter:
+        if overwrite:
+            raise ValueError(
+                "parzig: mode('overwrite') is not supported — the store is "
+                "append-only with snapshot history (use mode('append'); "
+                "replace views via rollback_store / refs / compaction)"
+            )
+        return ParzigWriter(dict(self.options), schema)
 
 
 def register_datasource(spark) -> None:

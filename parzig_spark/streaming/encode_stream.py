@@ -23,68 +23,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.encode import encode_table
+from ..plans.manifest import claim_namespace  # noqa: F401  (re-export: established import surface)
 
 # Micro-batches are small; 16 bucket bits (65k partitions per batch) is
 # plenty, and shrinking from the batch default of 24 widens the namespace
 # to 47 bits (birthday bound ~2^23.5 batches, up from 2^19.5 at 39 bits).
 _STREAM_BUCKET_BITS = 16
-
-
-def claim_namespace(store_root: str, namespace: int, digest_hex: str) -> None:
-    """Loud cross-batch aliasing guard: even a (47-bit) namespace collision
-    can never silently drop rows — the namespace is claimed with the FULL
-    256-bit batch fingerprint via an O_EXCL marker; a different batch landing
-    on a claimed namespace fails here instead of being anti-joined away,
-    while an identical replayed batch (crash recovery) matches and proceeds
-    to its normal resume skip."""
-    d = os.path.join(store_root, "namespaces")
-    os.makedirs(d, exist_ok=True)
-    path = os.path.join(d, f"ns_{namespace}")
-    # Write-then-hardlink: the marker appears atomically WITH its digest.
-    # (An O_EXCL create followed by a write can crash in between, leaving an
-    # empty marker that would permanently reject replays of the same batch.)
-    existing = None
-    for _ in range(4):
-        tmp = os.path.join(d, f".tmp-{namespace}-{os.getpid()}-{digest_hex[:8]}")
-        with open(tmp, "w") as f:
-            f.write(digest_hex)
-            f.flush()
-            os.fsync(f.fileno())
-        try:
-            os.link(tmp, path)  # atomic claim: fails iff the marker exists
-            return
-        except FileExistsError:
-            pass
-        finally:
-            os.unlink(tmp)
-        try:
-            with open(path) as f:
-                existing = f.read()
-        except FileNotFoundError:
-            continue  # a racing adopter unlinked it — retry the atomic claim
-        if existing != "":
-            break
-        # Partial marker from a pre-fix crash window: no batch ever owned it
-        # (the digest never landed). Unlink it and RETRY the atomic link —
-        # an unconditional rewrite here would let two concurrent batches
-        # both adopt the namespace; with unlink+link exactly one wins and
-        # the loser falls through to the digest comparison below.
-        try:
-            os.unlink(path)
-        except FileNotFoundError:
-            pass
-    else:
-        raise RuntimeError(
-            f"claim_namespace: could not claim namespace {namespace} in "
-            f"{store_root} after repeated empty-marker races"
-        )
-    if existing != digest_hex:
-        raise RuntimeError(
-            f"pid namespace collision in {store_root}: namespace {namespace} "
-            f"was claimed by a different batch (fingerprint {existing[:16]}… "
-            f"!= {digest_hex[:16]}…) — refusing to encode; rows would be "
-            "silently dropped by the resume anti-join"
-        )
 
 
 def encode_stream(

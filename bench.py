@@ -65,7 +65,21 @@ def main() -> None:
     query_mode = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "all")
     corpus_only = query_mode == "corpus_only"
     reps = 1 if corpus_only else int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
-    qs = entrymod.queries()
+    qs = dict(entrymod.queries())
+    # Keep timing keys comparable across rounds: several correctness lanes
+    # merged siblings in round 5 (recall folded into topk, text/fingerprint
+    # lanes joined), so the bench times the UNMERGED building blocks under
+    # the historical names. ann_lsh_topk/ann_ivf_topk = the steady-state
+    # probe alone; ann_lsh_recall = probe + brute force + recall (exactly
+    # the merged registry lane's work, as in round 4).
+    qs["ann_lsh_topk"] = entrymod.q_ann_lsh_probe
+    qs["ann_ivf_topk"] = entrymod.q_ann_ivf_probe
+    qs["ann_lsh_recall"] = entrymod.queries()["ann_lsh_topk"]
+    qs["text_stats"] = entrymod.q_text_stats
+    qs["quality_score"] = entrymod.q_quality
+    qs["token_counts"] = entrymod.q_token_counts
+    qs["doc_fingerprints"] = entrymod.q_doc_fingerprints
+    qs["ngram_jaccard_pairs"] = entrymod.q_ngram_jaccard_pairs
     query_list = () if corpus_only else (
         "tpch_q1",
         "join_segment_revenue",

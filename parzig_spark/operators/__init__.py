@@ -1,5 +1,5 @@
 from .aggregate import aggregate_store  # noqa: F401
-from .compact import compact_store, gc_store, plan_compaction  # noqa: F401
+from .compact import compact_store, gc_store, plan_compaction, repair_rewrites, rewrite_store  # noqa: F401
 from .delete import delete_rows  # noqa: F401
 from .evolve import add_columns, drop_columns  # noqa: F401
 from .inspect import files_table, rollback_store, snapshots_table  # noqa: F401

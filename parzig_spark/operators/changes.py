@@ -38,6 +38,53 @@ from ..plans.manifest import ManifestStore
 from .decode import decode_table
 
 
+def _rewrite_silent_pids(
+    store_root, pids_a, pids_b, ops_a, ops_b, touched
+) -> set[int]:
+    """Pids a PURE in-place rewrite moved between the two views — provably
+    identical row sets, so the changelog (and the stream reader, via the
+    same helper) skips them entirely: a compaction is CDC-silent, like an
+    Iceberg rewrite. A group qualifies only when the rewrite's durable
+    intent record (operators/compact.py rewrite_store) proves:
+
+    - the sources are all visible in exactly one view and the destination
+      in exactly the other (the flip happened inside this window);
+    - every delete op the rewrite purged was already applied in BOTH views
+      (a purge of an in-window delete is a REAL row retraction);
+    - no in-window delete op touches the group (those rows' visibility
+      genuinely changed).
+
+    Anything murkier falls through to the decode diff — correct either
+    way, this is purely noise suppression."""
+    from .compact import rewrite_records
+
+    silent: set[int] = set()
+    window_ops = ops_a ^ ops_b
+    for rec in rewrite_records(store_root):
+        if not set(rec.get("purged_ops", [])) <= (ops_a & ops_b):
+            continue
+        for g in rec["groups"]:
+            dst = int(g["dst"])
+            src = {int(p) for p in g["src"]}
+            group = src | {dst}
+            forward = (
+                src <= pids_a and not (src & pids_b)
+                and dst in pids_b and dst not in pids_a
+            )
+            backward = (
+                src <= pids_b and not (src & pids_a)
+                and dst in pids_a and dst not in pids_b
+            )
+            if not (forward or backward):
+                continue
+            if group & touched:
+                continue  # an in-window delete op touches it: real changes
+            # purged ops must not delete rows from the sources in only one
+            # view — covered by the purged_ops ⊆ (ops_a ∩ ops_b) guard
+            silent |= group
+    return silent
+
+
 def changes_table(
     spark: SparkSession,
     store_root: str,
@@ -62,8 +109,10 @@ def changes_table(
     ops_from = set(store.snapshot_delete_ops(from_snapshot))
     ops_to = set(store.snapshot_delete_ops(to_snapshot))
 
-    affected = (pids_from ^ pids_to) | store.delete_touched_pids(
-        sorted(ops_from ^ ops_to)
+    touched = store.delete_touched_pids(sorted(ops_from ^ ops_to))
+    affected = (pids_from ^ pids_to) | touched
+    affected -= _rewrite_silent_pids(
+        store_root, pids_from, pids_to, ops_from, ops_to, touched
     )
     affected_list = sorted(affected)
 

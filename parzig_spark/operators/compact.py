@@ -254,8 +254,22 @@ def compact_store(
     if not work:
         return spark.createDataFrame([], SUMMARY_SCHEMA)
 
-    # One task per merge group; the group spec (pids) is the only thing
-    # shuffled to executors — bytes move only within each task.
+    return _rewrite_groups_job(
+        spark, src_root, dst_root, work, src_config, delete_ops,
+        sort_cols, zorder_cols, outer, page_values, commit=True,
+    )
+
+
+def _rewrite_groups_job(
+    spark, src_root, dst_root, work, src_config, delete_ops,
+    sort_cols, zorder_cols, outer, page_values, commit,
+):
+    """One task per merge group (the group spec is the only thing shuffled
+    to executors — bytes move only within each task): decode the group's
+    source partitions, purge deleted rows, canonical re-sort/z-order,
+    re-encode into the destination pid. ``commit=False`` stages the
+    destination partitions WITHOUT markers — the in-place rewrite's
+    invisible first phase (rewrite_store flips markers on the driver)."""
     spec_df = spark.createDataFrame(
         [(json.dumps(g),) for g in work], "group_json string"
     ).repartition(len(work))
@@ -358,7 +372,7 @@ def compact_store(
                                 "blob_file": dst_local.blob_path(new_pid, name),
                             }
                         )
-                    dst_local.write_partition(new_pid, rows, blobs)
+                    dst_local.write_partition(new_pid, rows, blobs, commit=commit)
                     out_rows = [
                         {
                             "pid": new_pid,
@@ -400,6 +414,151 @@ def compact_store(
                 yield pa.RecordBatch.from_pylist(out_rows, schema=schema)
 
     return spec_df.mapInArrow(rewrite, schema=SUMMARY_SCHEMA)
+
+
+def _rewrites_dir(root: str) -> str:
+    return os.path.join(root, "rewrites")
+
+
+def rewrite_records(root: str) -> list[dict]:
+    """All durable rewrite intent records, oldest first — each
+    ``{"groups": [{"dst": pid, "src": [pids]}], "purged_ops": [...]}``.
+    Metadata-scale lineage: changes_table and the stream reader consult
+    these to keep pure rewrites CDC-silent."""
+    d = _rewrites_dir(root)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for f in sorted(os.listdir(d)):
+        if not f.endswith(".json") or ".tmp-" in f:
+            continue
+        with open(os.path.join(d, f)) as fh:
+            out.append(json.load(fh))
+    return out
+
+
+def repair_rewrites(root: str) -> int:
+    """Finish any crashed in-place rewrite flip: for every intent group
+    whose destination marker landed but whose source markers survive, the
+    crash hit the per-group marker surgery window — remove the sources
+    (the destination provably holds their rows: its staging completed
+    before any flip began). Groups whose destination never committed were
+    never flipped and stay pending (re-running rewrite_store redoes them
+    from byte-identical staging). Returns the number of groups repaired."""
+    store = ManifestStore(root)
+    fixed = 0
+    for rec in rewrite_records(root):
+        for g in rec["groups"]:
+            if not store.is_committed(int(g["dst"])):
+                continue
+            for s in g["src"]:
+                if store.is_committed(int(s)):
+                    try:
+                        os.unlink(store._marker_path(int(s)))
+                        fixed += 1
+                    except FileNotFoundError:
+                        pass
+    return fixed
+
+
+def rewrite_store(
+    spark: SparkSession,
+    root: str,
+    target_bytes: int = 64 << 20,
+    outer: str | None = "auto",
+    sort_cols: list[str] | None = None,
+    page_values: int | None = None,
+    zorder_cols: list[str] | None = None,
+) -> dict:
+    """IN-PLACE compaction — the Iceberg ``rewrite_data_files`` COMMIT
+    semantics over one store (compact_store's cross-root rewrite keeps the
+    source untouched; this one advances the store itself):
+
+    1. **Stage (distributed, invisible)**: each merge group re-encodes into
+       its content-derived destination pid inside THIS store, WITHOUT a
+       commit marker — readers keep the pre-rewrite view throughout.
+       Merge-on-read delete bitmaps purge during the rewrite, exactly like
+       compact_store.
+    2. **Intent (driver, durable)**: the full src→dst mapping plus the
+       delete ops it purged lands in ``{root}/rewrites/`` (tmp+rename)
+       BEFORE any marker moves — the changelog/stream CDC-silence proof
+       and the crash-repair log.
+    3. **Flip (driver, marker surgery)**: per group, commit the
+       destination, then retire the sources; a crash inside one group's
+       window is healed by :func:`repair_rewrites` (run automatically at
+       the start of every rewrite). Same single-driver maintenance
+       discipline as rollback_store.
+    4. **Seal**: ``write_snapshot`` records the post-rewrite view; the
+       purged delete ops stay committed but now target only retired pids
+       (no-ops) until gc.
+
+    Returns ``{"groups", "rewritten_pids", "dst_pids", "snapshot"}``.
+    A later ``changes_table`` / readStream window spanning this rewrite
+    reports ZERO rows for it (pure rewrites are CDC-silent, like Iceberg).
+    """
+    store = ManifestStore(root)
+    store.check_format()
+    repair_rewrites(root)
+    with open(os.path.join(root, "store_config.json")) as f:
+        config = json.load(f)
+    if sort_cols is None and zorder_cols is None:
+        sort_cols = config.get("sort_cols") or []
+    sort_cols = sort_cols or []
+    groups = plan_compaction(store, target_bytes)
+    grouped = {p for g in groups for p in g}
+    delete_ops = store.committed_delete_ops()
+    purge_pids = {
+        pid for pid in store.committed_pids()
+        if store.delete_bitmap_paths(pid, delete_ops)
+    }
+    for pid in sorted(purge_pids - grouped):
+        groups.append([pid])
+    if not groups:
+        snap = store.write_snapshot()
+        return {"groups": 0, "rewritten_pids": [], "dst_pids": [],
+                "snapshot": snap}
+
+    # phase 1: stage invisibly (skip groups a finished flip already owns)
+    work = [g for g in groups if not store.is_committed(_dst_pid(g))]
+    if work:
+        _rewrite_groups_job(
+            spark, root, root, work, config, delete_ops,
+            sort_cols, zorder_cols, outer, page_values, commit=False,
+        ).count()
+
+    # phase 2: durable intent before any marker moves
+    mapping = [
+        {"dst": _dst_pid(g), "src": sorted(int(p) for p in g)} for g in groups
+    ]
+    rec = {"groups": mapping, "purged_ops": sorted(delete_ops)}
+    digest = hashlib.sha256(
+        json.dumps(rec, sort_keys=True).encode()
+    ).hexdigest()[:16]
+    d = _rewrites_dir(root)
+    os.makedirs(d, exist_ok=True)
+    final = os.path.join(d, f"rw-{digest}.json")
+    tmp = final + f".tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(rec, f, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, final)
+
+    # phase 3: flip each group (dst marker, then retire sources)
+    for g in mapping:
+        store.commit_partition(int(g["dst"]))
+        for s in g["src"]:
+            try:
+                os.unlink(store._marker_path(int(s)))
+            except FileNotFoundError:
+                pass
+    snap = store.write_snapshot()
+    return {
+        "groups": len(mapping),
+        "rewritten_pids": sorted(p for g in mapping for p in g["src"]),
+        "dst_pids": sorted(g["dst"] for g in mapping),
+        "snapshot": snap,
+    }
 
 
 def gc_store(root: str, min_age_s: float = 0.0, keep_snapshots: int = 0) -> dict:

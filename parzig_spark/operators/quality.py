@@ -66,12 +66,28 @@ def check_store(
     checks: list[tuple],
     snapshot: int | None = None,
     ref: str | None = None,
+    where: list[tuple] | None = None,
+    return_plan: bool = False,
 ) -> DataFrame:
     """Evaluate ``checks`` over a store view (head, ``snapshot=``, or a
     named ``ref=`` — audit a staged WAP branch before publishing). Returns
     one row per check: ``(check, column, passed, observed)``; ``observed``
     is a short human-readable summary (count, fraction, extremum, or a
-    violator sample)."""
+    violator sample).
+
+    ``where`` scopes the audit to the rows matching the predicate triples
+    (same ``(column, op, value)`` grammar as decode_table) — the real WAP
+    shape: gate ONLY the staged slice, not the whole store. Partition
+    economics mirror aggregate_store's split: predicates PRUNE partitions
+    that can't match (zero cost), partitions PROVABLY fully covered (the
+    inclusion dual — every row matches) stay on the metadata path, and
+    only the partial ones decode + row-filter. Auditing a fresh batch
+    bounded by a batch predicate therefore opens at most that batch's
+    boundary partitions, never the store.
+
+    ``return_plan=True`` returns ``(df, plan)`` with the partition
+    economics: ``{"total", "pruned", "metadata", "decoded"}`` (two extra
+    metadata-scale count actions)."""
     store = ManifestStore(store_root)
     store.check_format()
     if ref is not None:
@@ -108,8 +124,39 @@ def check_store(
 
     m = spark.read.parquet(snap).select(
         "pid", "column", "n_values", "stat_nulls",
-        "stat_min", "stat_max", "stat_distinct",
+        "stat_min", "stat_max", "stat_bloom", "stat_bloom_dom",
+        "stat_distinct",
     )
+    partial = None
+    if where:
+        from .aggregate import _inclusion_condition
+        from .decode import prune_manifests
+
+        for wcol, _op, _v in where:
+            if wcol not in kinds:
+                raise ValueError(f"unknown column {wcol!r} in {store_root}")
+        m = prune_manifests(m, where)
+        flags = []
+        for i, (wcol, op, val) in enumerate(where):
+            incl = _inclusion_condition(
+                op, val, kinds.get(wcol, "other"), has_distinct=True
+            )
+            flags.append(
+                F.max(
+                    F.when(
+                        (F.col("column") == wcol)
+                        & (F.col("stat_nulls") == 0)
+                        & incl,
+                        1,
+                    ).otherwise(0)
+                ).alias(f"_w{i}")
+            )
+        per_pid = m.groupBy("pid").agg(*flags)
+        cond = F.lit(True)
+        for i in range(len(where)):
+            cond = cond & (F.col(f"_w{i}") == 1)
+        covered = per_pid.filter(cond).select("pid")
+        partial = m.select("pid").distinct().join(covered, "pid", "left_anti")
 
     # ---- decode set: partitions whose stats cannot decide some check --------
     # delete-touched pids (physical manifest counts are stale there) plus,
@@ -138,14 +185,39 @@ def check_store(
             F.col("column").isin(setless_cols) & F.col("stat_distinct").isNull()
         ).select("pid").distinct()
         decode_pids = decode_pids.union(setless).distinct()
+    if partial is not None:
+        decode_pids = decode_pids.union(partial).distinct()
+    # pruned-out partitions never decode, whatever put them in the set
+    decode_pids = decode_pids.join(
+        m.select("pid").distinct(), on="pid", how="left_semi"
+    )
     meta = m.join(decode_pids, on="pid", how="left_anti")
+    plan = None
+    if return_plan:
+        total = spark.read.parquet(snap).select("pid").distinct().count()
+        survivors = m.select("pid").distinct().count()
+        decoded = decode_pids.count()
+        plan = {
+            "total": total,
+            "pruned": total - survivors,
+            "metadata": survivors - decoded,
+            "decoded": decoded,
+        }
 
     # ---- one metadata pass + one decode pass --------------------------------
-    need_cols = sorted({c for _, c, _ in checks if c is not None})
+    need_cols = sorted(
+        {c for _, c, _ in checks if c is not None}
+        | {c for c, _, _ in (where or [])}
+    )
     dec = decode_table(
         spark, store_root, columns=need_cols or [ref_col],
         snapshot=version if pinned else None, pids=decode_pids,
+        predicates=where,
     )
+    if where:
+        from .decode import predicate_expr
+
+        dec = dec.filter(predicate_expr(where))
 
     def dset(col):
         return F.from_json("stat_distinct", _DISTINCT_DDL)["v"]
@@ -243,4 +315,5 @@ def check_store(
                     else "violators=" + json.dumps(bad[:10]),
                 )
             )
-    return spark.createDataFrame(rows, RESULT_DDL)
+    out = spark.createDataFrame(rows, RESULT_DDL)
+    return (out, plan) if return_plan else out

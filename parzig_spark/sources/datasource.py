@@ -544,10 +544,23 @@ class ParzigStreamReader(DataSourceStreamReader):
         self._pin(v0, v1)
         if v1 <= v0 or v1 < 0:
             return []
-        new_pids = self.store.snapshot_pids(v1) - (
-            self.store.snapshot_pids(v0) if v0 >= 0 else set()
-        )
+        pids_from = self.store.snapshot_pids(v0) if v0 >= 0 else set()
+        pids_to = self.store.snapshot_pids(v1)
+        new_pids = pids_to - pids_from
         ops = tuple(self.store.snapshot_delete_ops(v1))
+        if v0 >= 0 and new_pids:
+            # rewrite-aware: a pure in-place compaction's destination pids
+            # hold exactly rows this stream already delivered from the
+            # retired sources — skip them (CDC-silent, like Iceberg)
+            from ..operators.changes import _rewrite_silent_pids
+
+            ops_from = set(self.store.snapshot_delete_ops(v0))
+            touched = self.store.delete_touched_pids(
+                sorted(ops_from ^ set(ops))
+            )
+            new_pids -= _rewrite_silent_pids(
+                self.root, pids_from, pids_to, ops_from, set(ops), touched
+            )
         return [ParzigStreamPartition(pid, ops) for pid in sorted(new_pids)]
 
     def read(self, partition):

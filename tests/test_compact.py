@@ -161,6 +161,85 @@ def test_gc_store_reclaims_only_orphans(spark, fragmented, tmp_path):
     assert report["ok"], report
 
 
+def test_rewrite_store_inplace_preserves_rows_and_is_cdc_silent(
+    spark, fragmented, tmp_path
+):
+    """In-place compaction (rewrite_store): the store itself advances —
+    fewer partitions, identical rows — the pre-rewrite snapshot still time
+    travels, and a changes_table window spanning ONLY the rewrite is empty
+    (pure rewrites are CDC-silent, like Iceberg rewrite_data_files)."""
+    from parzig_spark.operators import rewrite_store
+    from parzig_spark.operators.changes import changes_table
+
+    corpus, src_root = fragmented
+    root = str(tmp_path / "store")
+    shutil.copytree(src_root, root)
+    store = ManifestStore(root)
+    store.write_snapshot()  # v_from: pre-rewrite
+    v_from = int(os.path.basename(store.fresh_snapshot())[len("snap-"):-len(".parquet")])
+    before = store.committed_pids()
+
+    info = rewrite_store(spark, root, target_bytes=1 << 20)
+    assert info["groups"] > 0
+    after = store.committed_pids()
+    assert len(after) < len(before)
+    assert set(info["dst_pids"]) <= after
+    assert not (set(info["rewritten_pids"]) & after)
+
+    # rows identical through the head view
+    report = verify_roundtrip(
+        corpus, decode_table(spark, root), KEYS, ["lang", "content"]
+    )
+    assert report["ok"], report
+    # pre-rewrite snapshot still time travels (artifacts live until gc)
+    assert decode_table(spark, root, snapshot=v_from).count() == corpus.count()
+
+    # the rewrite window is CDC-silent
+    v_to = int(os.path.basename(store.fresh_snapshot())[len("snap-"):-len(".parquet")])
+    assert changes_table(spark, root, v_from, v_to).count() == 0
+
+    # ...but REAL changes after the rewrite still surface
+    from parzig_spark.operators import delete_rows
+
+    deleted = delete_rows(spark, root, [("lang", "==", "zig")])
+    store.write_snapshot()
+    v_del = int(os.path.basename(store.fresh_snapshot())[len("snap-"):-len(".parquet")])
+    ch = changes_table(spark, root, v_to, v_del)
+    assert ch.filter(ch._change_type == "delete").count() == deleted["rows_deleted"]
+    # a wide window (pre-rewrite -> post-delete): groups the delete touches
+    # fall back to the documented insert+delete rewrite pairs (correct,
+    # noisy); untouched groups stay suppressed; the NET change is exactly
+    # the deletes either way
+    wide = changes_table(spark, root, v_from, v_del)
+    n_del = wide.filter(wide._change_type == "delete").count()
+    n_ins = wide.filter(wide._change_type == "insert").count()
+    assert n_del - n_ins == deleted["rows_deleted"]
+
+
+def test_rewrite_repair_heals_crashed_flip(spark, fragmented, tmp_path):
+    """A crash inside one group's marker-surgery window (dst committed,
+    sources not yet retired) is healed by repair_rewrites using the
+    durable intent record — no duplicate rows survive."""
+    from parzig_spark.operators import repair_rewrites, rewrite_store
+
+    corpus, src_root = fragmented
+    root = str(tmp_path / "store")
+    shutil.copytree(src_root, root)
+    store = ManifestStore(root)
+    rewrite_store(spark, root, target_bytes=1 << 20)
+    # forge the crash: resurrect one group's source markers (dst stays)
+    rec = json.load(open(os.path.join(root, "rewrites", sorted(os.listdir(os.path.join(root, "rewrites")))[0])))
+    g = rec["groups"][0]
+    for s in g["src"]:
+        fd = os.open(store._marker_path(int(s)), os.O_CREAT | os.O_WRONLY)
+        os.close(fd)
+    assert repair_rewrites(root) == len(g["src"])
+    report = verify_roundtrip(
+        corpus, decode_table(spark, root), KEYS, ["lang", "content"]
+    )
+    assert report["ok"], report
+
+
 def test_gc_keep_snapshots_horizon(spark, fragmented, tmp_path):
     """keep_snapshots retains the newest N superseded snapshots (readStream
     checkpoint-lag defense); retention picks survivors by numeric version."""

@@ -311,6 +311,45 @@ def test_writer_refuses_overwrite_and_schema_drift(spark, tmp_path):
         drifted.write.format("parzig").mode("append").save(root)
 
 
+def test_stream_skips_inplace_rewrite(spark, tmp_path):
+    """A pure in-place compaction between micro-batches must deliver ZERO
+    rows to a tailing stream (its rows were already delivered from the
+    retired sources); a real append afterwards still arrives."""
+    from parzig_spark.operators import rewrite_store
+
+    root = str(tmp_path / "dsrw")
+    common = dict(group_cols=["grp"], salt_cols=["k"], target_bytes=16 << 10)
+    encode_table(
+        _src(spark, 1_500), root, resume=False, pid_namespace=1,
+        bucket_bits=16, **common,
+    ).count()
+    ManifestStore(root).write_snapshot()
+    register_datasource(spark)
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out.parquet")
+
+    def drain():
+        q = (
+            spark.readStream.format("parzig")
+            .option("starting", "earliest").load(root)
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        return sorted(r["k"] for r in spark.read.parquet(out).select("k").collect())
+
+    assert drain() == list(range(1_500))
+    info = rewrite_store(spark, root, target_bytes=64 << 20)
+    assert info["groups"] > 0  # the rewrite really happened
+    assert drain() == list(range(1_500))  # ...and delivered nothing new
+    encode_table(
+        _src(spark, 2_000).where("k >= 1500"), root, resume=True,
+        pid_namespace=2, bucket_bits=16, **common,
+    ).count()
+    ManifestStore(root).write_snapshot()
+    assert drain() == list(range(2_000))  # real appends still stream
+
+
 def test_stream_pin_survives_gc(spark, tmp_path):
     """ADVICE r4 #3: gc_store between micro-batches reclaims the superseded
     snapshot a checkpointed stream must diff against. With streamId, the

@@ -126,6 +126,49 @@ def test_audit_staged_branch(spark, tmp_path):
     assert passed is False and "INVALID" in obs
 
 
+def test_where_scopes_audit_to_staged_slice(spark, tmp_path):
+    """check_store(where=...) — the real WAP audit shape: expectations run
+    over ONLY the rows matching the predicate. The old store holds an
+    out-of-domain lang; the audited fresh slice (k >= 8000) is clean, so
+    the scoped audit passes while the store-wide one fails — and the
+    plan shows the scoped audit decoded at most the slice's boundary
+    partitions, never the base store."""
+    base = _src(spark).withColumn(
+        "lang", F.when(F.col("k") == 7, F.lit("LEGACY")).otherwise(F.col("lang"))
+    )
+    root = _store(spark, tmp_path, base, name="qwhere")
+    fresh = spark.range(8_000, 9_000).select(
+        (F.lit(99)).cast("int").alias("grp"),
+        F.col("id").alias("k"),
+        F.concat(F.lit("l"), (F.col("id") % 4).cast("string")).alias("lang"),
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("uid"),
+    )
+    encode_table(
+        fresh, root, group_cols=["grp"], salt_cols=["k"],
+        target_bytes=64 << 10, resume=True, pid_namespace=7, bucket_bits=16,
+    ).count()
+    checks = [
+        ("row_count_between", None, (1_000, 1_000)),
+        ("values_in_set", "lang", ["l0", "l1", "l2", "l3"]),
+        ("min_at_least", "k", 8_000),
+    ]
+    scoped, plan = check_store(
+        spark, root, checks, where=[("k", ">=", 8_000)], return_plan=True
+    )
+    res = _results(scoped)
+    assert res[("row_count_between", None)][0] is True
+    assert res[("values_in_set", "lang")][0] is True
+    assert res[("min_at_least", "k")][0] is True
+    # store-wide audit still catches the legacy violator
+    wide = _results(check_store(spark, root, [checks[1]]))
+    assert wide[("values_in_set", "lang")][0] is False
+    # economics: the base store's partitions were pruned or metadata-only;
+    # at most the fresh slice's own partitions decoded
+    assert plan["pruned"] > 0
+    assert plan["decoded"] <= 4, plan
+    assert plan["total"] == plan["pruned"] + plan["metadata"] + plan["decoded"]
+
+
 def test_check_validation(spark, tmp_path):
     root = _store(spark, tmp_path, _src(spark, n=100), name="qval")
     with pytest.raises(ValueError):

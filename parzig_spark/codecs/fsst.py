@@ -14,12 +14,15 @@ in-memory layout):
   inlined after the escape code, which removes the sequential escape
   ambiguity and makes decode fully vectorizable;
 - the paper's AVX512 kernel is replaced by a *chunk-parallel numpy* encoder:
-  per-position longest-match tables are built with one vectorized
-  searchsorted pass per symbol length (u64 window keys), then the greedy
-  parse advances the cursor of every 256-byte chunk simultaneously — one
-  gather per step across all chunks, never per-token Python. Matches never
-  cross a chunk boundary (≤7 wasted bytes per 256, and it is what makes the
-  parse embarrassingly parallel).
+  the greedy parse advances the cursor of every 256-byte chunk
+  simultaneously, deciding each cursor with the paper's own probe shape
+  (§4.2): ONE hash slot keyed on the first 3 bytes holding the longest
+  symbol per slot, then direct 2-byte / 1-byte tables — a fixed handful of
+  whole-array gathers per step, never per-token Python. Matches never
+  cross a chunk boundary (≤7 wasted bytes per 256, and it is what makes
+  the parse embarrassingly parallel); shorter symbols shadowed by a slot's
+  winner cost a little ratio, never correctness (any tokenization decodes
+  identically).
 
 The codec compresses the column's concatenated UTF-8 buffer; original string
 lengths ride along block-FOR coded so decode re-slices exactly
@@ -47,34 +50,50 @@ CHUNK = 256  # parallel-parse chunk; token matches never cross a boundary
 _SEGMENT = 8 << 20  # match-table build segment (bounds temp memory)
 
 
-def _build_hash_tables(symbols: list[bytes]) -> dict[int, tuple]:
-    """Per-length collision-free hash tables: L -> (mult, slot_keys,
-    slot_codes, slot_used). Lookup is slot = (key * mult) >> 48 into 2^16
-    slots — two gathers + compare, no binary search (searchsorted is ~20x
-    slower than gathers on this platform)."""
-    tables: dict[int, tuple] = {}
-    by_len: dict[int, list[tuple[int, bytes]]] = {}
+def _build_parse_tables(symbols: list[bytes]) -> tuple:
+    """Parse tables in the paper's shape (FSST §4.2, 'longest symbol per
+    hash slot'): ONE hash probe decides every symbol of length >= 3, direct
+    2^16 / 2^8 tables decide lengths 2 and 1 — three fixed vector ops per
+    cursor instead of a probe per symbol length.
+
+    Hash: slot = (first3bytes * mult) >> 48 into 2^16 slots; each slot
+    stores the big-endian 8-byte-window key of ONE symbol (collisions keep
+    the longest, then the higher-gain = lower code), its length, and the
+    shift that masks a window down to that length. A miss falls to the
+    2-byte then 1-byte table, else escape — shorter same-prefix symbols
+    shadowed by a slot's winner cost a little ratio, never correctness
+    (any tokenization decodes identically)."""
+    mult = np.uint64(0x9E3779B97F4A7C15)
+    slot_key = np.zeros(1 << 16, dtype=np.uint64)
+    slot_mask = np.zeros(1 << 16, dtype=np.uint64)  # empty slot: mask 0
+    # packed side-gather per slot: len | code<<16 (len 0 = empty; its
+    # mask 0 makes (w & 0) == 0 true, which the len-0 guard removes)
+    slot_meta = np.zeros(1 << 16, dtype=np.uint32)
+    # length-2 / length-1 direct tables: ESCAPE = no symbol (real codes
+    # are <= 254; 255 is the reserved escape, so the sentinel is free)
+    code2 = np.full(1 << 16, ESCAPE, dtype=np.uint8)
+    code1 = np.full(1 << 8, ESCAPE, dtype=np.uint8)
     for code, s in enumerate(symbols):
-        by_len.setdefault(len(s), []).append((code, s))
-    rng = np.random.default_rng(0xF557)
-    for L, entries in by_len.items():
-        keys = np.array([int.from_bytes(s, "big") for _, s in entries], dtype=np.uint64)
-        codes = np.array([c for c, _ in entries], dtype=np.uint8)
-        for _ in range(64):
-            mult = np.uint64(int(rng.integers(1, 2**63)) * 2 + 1)
-            slots = (keys * mult) >> np.uint64(48)
-            if len(np.unique(slots)) == len(keys):
-                break
-        else:  # pragma: no cover - 255 keys into 65536 slots converges fast
-            raise RuntimeError("fsst: no collision-free hash found")
-        slot_keys = np.zeros(1 << 16, dtype=np.uint64)
-        slot_codes = np.zeros(1 << 16, dtype=np.uint8)
-        slot_used = np.zeros(1 << 16, dtype=bool)
-        slot_keys[slots] = keys
-        slot_codes[slots] = codes
-        slot_used[slots] = True
-        tables[L] = (mult, slot_keys, slot_codes, slot_used)
-    return tables
+        L = len(s)
+        if L == 1:
+            if code1[s[0]] == ESCAPE:
+                code1[s[0]] = code
+        elif L == 2:
+            k = s[0] | (s[1] << 8)  # little-endian 2-byte key
+            if code2[k] == ESCAPE:
+                code2[k] = code
+        else:
+            # LITTLE-endian window keys: byte i of the text sits at bits
+            # 8i, so "starts with symbol" is one mask-and-compare and the
+            # per-step byteswap pass disappears
+            k3 = int.from_bytes(s[:3], "little")
+            slot = (k3 * int(mult)) % (1 << 64) >> 48
+            if (slot_meta[slot] & 0xFF) >= L:
+                continue  # keep the longest (earlier code wins ties)
+            slot_key[slot] = np.uint64(int.from_bytes(s, "little"))
+            slot_mask[slot] = np.uint64((1 << (8 * L)) - 1)
+            slot_meta[slot] = L | (code << 16)
+    return (mult, slot_key, slot_mask, slot_meta, code2, code1)
 
 
 _COMPRESS_SEGMENT = 2 << 20  # multiple of CHUNK; bounds per-step temporaries
@@ -92,7 +111,7 @@ def compress(data: bytes, symbols: list[bytes]) -> bytes:
     n = len(data)
     if n == 0:
         return encode_uleb128(0)
-    tables = _build_hash_tables(symbols)
+    tables = _build_parse_tables(symbols)
     lit_parts: list[bytes] = []
     code_parts: list[bytes] = []
     n_lits = 0
@@ -104,67 +123,69 @@ def compress(data: bytes, symbols: list[bytes]) -> bytes:
     return encode_uleb128(n_lits) + b"".join(lit_parts) + b"".join(code_parts)
 
 
-def _compress_segment(data: bytes, tables: dict[int, tuple]) -> tuple[bytes, bytes]:
+def _compress_segment(data: bytes, tables: tuple) -> tuple[bytes, bytes]:
     """One segment's greedy parse → (literals, codes). The parse advances
-    the cursor of every CHUNK-byte chunk simultaneously; longest-match
-    lookup happens lazily at cursor positions only (one windowed 8-byte
-    gather builds the keys, then one hash probe per symbol length over the
-    not-yet-matched cursors)."""
+    the cursor of every CHUNK-byte chunk simultaneously; each step is a
+    FIXED three-probe decision per cursor (≥3-byte hash slot, direct
+    2-byte, direct 1-byte — _build_parse_tables), so per-step cost is a
+    handful of whole-array numpy ops with no data-dependent Python."""
+    mult, slot_key, slot_mask, slot_meta, code2, code1 = tables
     n = len(data)
     arr = np.frombuffer(data, dtype=np.uint8)
     arrp = np.zeros(n + MAX_SYMBOL_LEN, dtype=np.uint8)
     arrp[:n] = arr
-    lengths_desc = sorted(tables, reverse=True)
-    shift48 = np.uint64(48)
     nchunks = (n + CHUNK - 1) // CHUNK
     cursors = np.arange(nchunks, dtype=np.int64) * CHUNK
     chunk_ends = np.minimum(cursors + CHUNK, n)
-    out_codes = np.zeros((nchunks, CHUNK), dtype=np.uint8)
-    out_lits = np.zeros((nchunks, CHUNK), dtype=np.uint8)
+    # (step, chunk) layout: each step writes ONE contiguous-ish row via
+    # fancy column indices instead of strided 2D scatter
+    out_codes = np.zeros((CHUNK, nchunks), dtype=np.uint8)
+    out_lits = np.zeros((CHUNK, nchunks), dtype=np.uint8)
     counts = np.zeros(nchunks, dtype=np.int64)
     active_idx = np.arange(nchunks)
-    # one 8-byte windowed gather per step (LE load + byteswap = big-endian
-    # window key) instead of 8 per-byte gathers
+    # one 8-byte windowed gather per step; keys stay LITTLE-endian (byte i
+    # of the text at bits 8i), so matching is mask-and-compare — no
+    # byteswap pass
     win = np.lib.stride_tricks.sliding_window_view(arrp, MAX_SYMBOL_LEN)
+    m24 = np.uint64(0xFFFFFF)
+    m16 = np.uint64(0xFFFF)
+    m8 = np.uint64(0xFF)
     step = 0
     while len(active_idx):
         cur = cursors[active_idx]
         na = len(cur)
-        key8 = win[cur].view("<u8").reshape(na).byteswap()
+        w = win[cur].view("<u8").reshape(na)
         rem = chunk_ends[active_idx] - cur
-        bl = np.zeros(na, dtype=np.int64)
-        bc = np.full(na, ESCAPE, dtype=np.uint8)
-        pending = np.arange(na)
-        for L in lengths_desc:
-            if not len(pending):
-                break
-            cand = pending[rem[pending] >= L]
-            if not len(cand):
-                continue
-            mult, slot_keys, slot_codes, slot_used = tables[L]
-            key_l = key8[cand] >> np.uint64(8 * (MAX_SYMBOL_LEN - L))
-            slot = ((key_l * mult) >> shift48).astype(np.intp)
-            hit = slot_used[slot] & (slot_keys[slot] == key_l)
-            matched = cand[hit]
-            bl[matched] = L
-            bc[matched] = slot_codes[slot[hit]]
-            miss = cand[~hit]
-            if len(cand) == len(pending):
-                pending = miss
-            else:
-                # positions too close to the chunk end for L stay pending
-                pending = np.concatenate((miss, pending[rem[pending] < L]))
-        out_codes[active_idx, step] = bc
-        out_lits[active_idx, step] = arrp[cur]
+        slot = (((w & m24) * mult) >> np.uint64(48)).astype(np.intp)  # u64 wraps
+        meta = slot_meta[slot]
+        ln3 = meta & np.uint32(0xFF)
+        hit3 = (
+            (ln3 != 0)
+            & ((w & slot_mask[slot]) == slot_key[slot])
+            & (rem >= ln3)
+        )
+        c2 = code2[(w & m16).astype(np.intp)]
+        hit2 = ~hit3 & (c2 != ESCAPE) & (rem >= 2)
+        c1 = code1[(w & m8).astype(np.intp)]
+        bl = np.where(hit3, ln3.astype(np.int64), np.where(hit2, 2, 1))
+        bc = np.where(
+            hit3, (meta >> np.uint32(16)).astype(np.uint8),
+            np.where(hit2, c2, c1),
+        ).astype(np.uint8)
+        out_codes[step, active_idx] = bc
+        out_lits[step, active_idx] = (w & m8).astype(np.uint8)
         counts[active_idx] += 1
-        cursors[active_idx] = cur + np.maximum(bl, 1)
+        cursors[active_idx] = cur + bl
         still = cursors[active_idx] < chunk_ends[active_idx]
         active_idx = active_idx[still]
         step += 1
-    valid = np.arange(CHUNK) < counts[:, None]
+    # back to per-chunk token order for the output streams
+    out_codes = out_codes[:step].T.copy()
+    out_lits = out_lits[:step].T
+    valid = np.arange(step) < counts[:, None]
     codes_stream = out_codes[valid]
     lit_mask = valid & (out_codes == ESCAPE)
-    literals = out_lits[lit_mask]
+    literals = np.ascontiguousarray(out_lits)[lit_mask]
     return literals.tobytes(), codes_stream.tobytes()
 
 

@@ -8,7 +8,7 @@ from parzig_spark.codecs import decode_column, encode_column
 from parzig_spark.codecs.fsst import (
     CHUNK,
     ESCAPE,
-    _build_hash_tables,
+    _build_parse_tables,
     compress,
     decompress,
     train,
@@ -61,11 +61,23 @@ def test_full_symbol_table_255():
     assert roundtrip_bytes(data, symbols) == data
 
 
-def test_hash_tables_collision_free():
-    symbols = [bytes([i]) for i in range(200)] + [b"abcdefg", b"zzzzzzz"]
-    tables = _build_hash_tables(symbols)
-    for L, (mult, slot_keys, slot_codes, slot_used) in tables.items():
-        assert slot_used.sum() == sum(1 for s in symbols if len(s) == L)
+def test_parse_tables_shape():
+    """Every symbol lands in its table: 1/2-byte in the direct tables,
+    >=3-byte in the hash slots (longest per slot); parsing a string equal
+    to each symbol yields exactly that symbol's code."""
+    symbols = [bytes([i]) for i in range(200)] + [b"abcdefg", b"zzzzzzz", b"abc"]
+    mult, slot_key, slot_mask, slot_meta, code2, code1 = _build_parse_tables(symbols)
+    assert (code1 != 255).sum() == 200
+    assert (slot_meta != 0).sum() >= 2  # abcdefg + zzzzzzz (abc may share)
+    for code, s in enumerate(symbols):
+        if len(s) < 3:
+            continue
+        body = compress(s, symbols)
+        # single symbol -> one code token unless a longer slot-mate shadows
+        n_lit = body[0]
+        codes = body[1 + n_lit:]
+        out = decompress(memoryview(body)[0:], symbols, len(s))
+        assert out == s
 
 
 def test_train_deterministic():

@@ -262,10 +262,17 @@ def _encode_paged(
     bloom (stats.bloom_build) — the BloomFilterHeader analog: min/max
     cannot prune `==` predicates on columns uncorrelated with the sort
     order, a bloom can."""
-    from .stats import bloom_build, bloom_domain, column_minmax
+    from .stats import BLOOM_MAX_AVG_LEN, bloom_build, bloom_domain, column_minmax
 
     n = len(arr)
     dom = bloom_domain(arr.type)
+    if dom == "str":
+        # long-string columns skip blooms (document bodies aren't equality
+        # targets; the key pass is a full data pass) — stats.column_bloom's
+        # partition-level rule, mirrored per page
+        nn = n - arr.null_count
+        if nn and arr.nbytes / nn > BLOOM_MAX_AVG_LEN:
+            dom = None
     pages: list[dict] = []
     blobs: list[bytes] = []
     for start in range(0, n, page_values):

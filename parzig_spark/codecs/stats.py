@@ -26,6 +26,9 @@ STR_STAT_CHARS = 16
 # (power-of-2, 2 Kbit..128 Kbit) with k=4 double-hashed probes — ~2-3%
 # false positives at full load; m rides implicitly in the bitmap length.
 _BLOOM_K = 4
+# strings longer than this on average skip the partition/page blooms —
+# equality probes target identifiers, not document bodies
+BLOOM_MAX_AVG_LEN = 256
 _BLOOM_C1 = np.uint64(0x9E3779B97F4A7C15)
 _BLOOM_C2 = np.uint64(0xC2B2AE3D27D4EB4F)
 
@@ -121,10 +124,23 @@ def column_bloom(arr: pa.Array) -> tuple[str | None, str | None]:
     scheduled. (None, None) for unbloomable types or empty/all-null
     columns. Capacity caps at 128 Kbit (16 KiB bitmap): partitions holding
     more than ~16 k distinct values overload toward higher false-positive
-    rates — over-reading only, never row loss."""
+    rates — over-reading only, never row loss.
+
+    LONG-string columns (mean non-null length > ``BLOOM_MAX_AVG_LEN``
+    bytes) skip the bloom: a point-equality probe on a multi-KB document
+    body is not a real query shape, and the key derivation is a full pass
+    over the dominant column of a text corpus (~20% of the per-partition
+    stat budget measured at 70 MB). Short identifier-like strings
+    (commits, paths, languages) keep theirs — those are what equality
+    pruning actually serves. Missing bloom = conservative keep, never
+    row loss."""
     dom = bloom_domain(arr.type)
     if dom is None:
         return None, None
+    if dom == "str":
+        nn = len(arr) - arr.null_count
+        if nn and arr.nbytes / nn > BLOOM_MAX_AVG_LEN:
+            return None, None
     bl = bloom_build(arr, dom)
     return (bl, dom) if bl is not None else (None, None)
 

@@ -459,6 +459,30 @@ def test_bloom_page_filters():
     assert "bloom_domain" not in fmeta
 
 
+def test_bloom_skips_long_string_columns():
+    """Document-body columns (mean length > BLOOM_MAX_AVG_LEN) skip the
+    partition AND page blooms — equality probes target identifiers, and
+    the key derivation is a full pass over the corpus's dominant column.
+    Short identifier columns keep theirs; a missing bloom is always a
+    conservative keep in every pruning twin."""
+    from parzig_spark.codecs import encode_column
+    from parzig_spark.codecs.stats import BLOOM_MAX_AVG_LEN, column_bloom
+    from parzig_spark.operators.decode import _page_may_match
+
+    docs = pa.array(["x" * (BLOOM_MAX_AVG_LEN * 2) + str(i) for i in range(50)])
+    b, dom = column_bloom(docs)
+    assert b is None and dom is None
+    ids = pa.array([f"commit{i:04d}" for i in range(50)])
+    b2, dom2 = column_bloom(ids)
+    assert b2 is not None and dom2 == "str"
+    # page-level mirror
+    _, meta = encode_column(docs, "delta_length", page_values=16)
+    assert "bloom_domain" not in meta
+    assert all("bloom" not in p for p in meta["pages"])
+    # absent bloom keeps the page under equality (sound)
+    assert _page_may_match("==", "anything", "a", "z", None, None) is True
+
+
 def test_bloom_short_strings_no_false_negatives():
     """Round-4 review finding: strings shorter than 8 bytes used to absorb
     the NEXT string's bytes into their build key while the probe key

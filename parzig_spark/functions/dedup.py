@@ -299,6 +299,101 @@ def simhash(
     return df.select(key_col, text_col).mapInPandas(sh, schema=f"{key_col} {kt}, simhash long")
 
 
+def _near_dup_pair_kernel(threshold: float):
+    """Per-bucket candidate-pair kernel for :func:`embedding_near_dups`.
+
+    Emits, for every in-bucket pair that could possibly pass the cosine
+    threshold, the EXACT left-associated dot product and norm product —
+    the same IEEE-double operation sequence as the Catalyst
+    ``aggregate(zip_with(...))`` fold it replaces (acc = 0.0; acc += x_j*y_j
+    in index order; norms = sqrt of the same fold over squares). Division,
+    the nullif zero-denominator guard, HALF_UP rounding and the threshold
+    filter all stay Spark expressions downstream, so the surviving rows are
+    bit-identical to the old join form.
+
+    Candidate screening uses one BLAS gemm per bucket (pairwise-summed, NOT
+    bit-identical) with a 1e-4 margin below the threshold: the absolute
+    cosine difference between pairwise and sequential summation is bounded
+    by ~dim·eps (≤1e-13 for any realistic dim, since Σ|x_i·y_i| ≤
+    ‖x‖·‖y‖), and the rounding boundary needs only 5e-7 — so no pair the
+    exact expression would keep can be screened out. NaN/inf dots are
+    always kept as candidates (Spark orders NaN above every number, so the
+    old form emitted them; only a provably-null cosine — zero denominator —
+    or a provably-below-threshold finite one may be dropped early).
+    """
+    margin = 1e-4
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        keys_out, dots_out, denoms_out = [], [], []
+        order = pdf.iloc[:, 0].argsort(kind="stable").to_numpy()
+        keys = pdf.iloc[:, 0].to_numpy()[order]
+        vecs = pdf.iloc[:, 1].to_numpy()[order]
+        lens = np.fromiter((len(v) for v in vecs), np.int64, len(vecs))
+        # zip_with pads unequal lengths with null -> null dot -> dropped
+        # by the filter: only equal-length rows can ever pair.
+        for ln in np.unique(lens):
+            sel = np.flatnonzero(lens == ln)
+            n = len(sel)
+            if n < 2 or ln == 0:
+                continue  # len-0 vecs: dot 0, norm 0 -> null cosine
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs[sel]])
+            gkeys = keys[sel]
+            # exact sequential norms (same fold order as the expression)
+            acc = np.zeros(n)
+            for j in range(int(ln)):
+                acc += V[:, j] * V[:, j]
+            norms = np.sqrt(acc)
+            slab = max(1, (8 << 20) // max(n, 1))  # ≤ ~64 MB of G per slab
+            cand_i: list[np.ndarray] = []
+            cand_j: list[np.ndarray] = []
+            with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+                for i0 in range(0, n - 1, slab):
+                    i1 = min(i0 + slab, n)
+                    G = V[i0:i1] @ V.T  # approx dots, BLAS
+                    denom = norms[i0:i1, None] * norms[None, :]
+                    approx = G / denom
+                    keep = (denom != 0) & (
+                        ~np.isfinite(approx) | (approx >= threshold - margin)
+                    )
+                    # strict upper triangle: position j > position i, and
+                    # equal keys never pair (strict key_a < key_b)
+                    rows = np.arange(i0, i1)[:, None]
+                    cols = np.arange(n)[None, :]
+                    keep &= (cols > rows) & (gkeys[None, :] != gkeys[:, None][i0:i1])
+                    ii, jj = np.nonzero(keep)
+                    if ii.size:
+                        cand_i.append(ii + i0)
+                        cand_j.append(jj)
+            if not cand_i:
+                continue
+            ci = np.concatenate(cand_i)
+            cj = np.concatenate(cand_j)
+            # exact left-associated dot for the (few) candidates
+            X, Y = V[ci], V[cj]
+            dot = np.zeros(len(ci))
+            for j in range(int(ln)):
+                dot += X[:, j] * Y[:, j]
+            keys_out.append((gkeys[ci], gkeys[cj]))
+            dots_out.append(dot)
+            denoms_out.append(norms[ci] * norms[cj])
+        if not keys_out:
+            return pd.DataFrame(
+                {"key_a": pdf.iloc[:0, 0], "key_b": pdf.iloc[:0, 0],
+                 "_dot": pd.Series([], dtype="float64"),
+                 "_denom": pd.Series([], dtype="float64")}
+            )
+        return pd.DataFrame(
+            {
+                "key_a": np.concatenate([a for a, _ in keys_out]),
+                "key_b": np.concatenate([b for _, b in keys_out]),
+                "_dot": np.concatenate(dots_out),
+                "_denom": np.concatenate(denoms_out),
+            }
+        )
+
+    return kernel
+
+
 def embedding_near_dups(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -311,52 +406,41 @@ def embedding_near_dups(
     """Embedding-cosine near-dup pairs via random-hyperplane LSH buckets.
 
     Pairs are only compared within a bucket (expected bucket size
-    n/2^planes) through a self-equi-join on the bucket key — co-partitioned
-    shuffle, never all-pairs, the 100-TB-safe shape. Bucketing and the
-    exact cosine verification are pure Catalyst expressions (JVM codegen,
-    no Python workers, and DuckDB-oracleable bit-for-bit).
+    n/2^planes) through a per-bucket vectorized kernel — co-partitioned
+    shuffle, never all-pairs, the 100-TB-safe shape. Bucketing is pure
+    Catalyst; the quadratic in-bucket pair scoring runs as one BLAS matmul
+    per bucket inside ``applyInPandas`` (optimization guide §4.2: hand
+    whole batches to native kernels) instead of the old per-pair
+    interpreted ``aggregate(zip_with(...))`` expressions, which evaluated
+    ~pairs×dim lambda nodes with no codegen. The kernel only *screens*
+    candidates; the exact dot/denominator it emits use the identical
+    left-associated double fold, and division, the nullif zero-vector
+    guard, rounding and the threshold filter remain Spark expressions — so
+    results are bit-identical to the expression form (and the DuckDB
+    oracle twin).
     """
     from .similarity import lsh_index
 
-    # Per-row norm computed ONCE before the join (the pair count inside a
-    # bucket is quadratic in bucket size; norms must not be).
-    norm = F.sqrt(
-        F.aggregate(
-            F.transform(F.col(vec_col), lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    bucketed = lsh_index(df, vec_col, key_col, n_planes, seed, dim)
+    # Rows with a null key never satisfy strict key_a < key_b; a null vec
+    # or any null element nulls the dot (null * y -> null, acc + null ->
+    # null) so every pair involving the row is dropped by the filter.
+    # Removing them up front keeps the kernel all-NaN-is-genuine (pandas
+    # would blur null into NaN, and NaN *passes* Spark's >= filter while
+    # null fails it).
+    clean = bucketed.filter(
+        F.col(key_col).isNotNull()
+        & F.col(vec_col).isNotNull()
+        & ~F.exists(F.col(vec_col), lambda x: x.isNull())
     )
-    bucketed = lsh_index(df, vec_col, key_col, n_planes, seed, dim).withColumn("_norm", norm)
-    left = bucketed.alias("l")
-    right = bucketed.alias("r")
-    # nullif guards the zero-vector pair: 0/0 would be NaN, and Spark
-    # orders NaN above every number, so `NaN >= threshold` would emit
-    # spurious pairs. A null cosine fails the filter instead (and the
-    # DuckDB oracle twin uses the same nullif).
-    cos = F.round(
-        F.aggregate(
-            F.zip_with(
-                F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}"),
-                lambda x, y: x.cast("double") * y.cast("double"),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        / F.nullif(F.col("l._norm") * F.col("r._norm"), F.lit(0.0)),
-        6,
+    kt = dict(df.dtypes)[key_col]
+    pairs = clean.select(key_col, vec_col, "bucket").groupBy("bucket").applyInPandas(
+        _near_dup_pair_kernel(threshold),
+        schema=f"key_a {kt}, key_b {kt}, _dot double, _denom double",
     )
+    cos = F.round(F.col("_dot") / F.nullif(F.col("_denom"), F.lit(0.0)), 6)
     return (
-        left.join(
-            right,
-            (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col(f"l.{key_col}") < F.col(f"r.{key_col}")),
-        )
-        .select(
-            F.col(f"l.{key_col}").alias("key_a"),
-            F.col(f"r.{key_col}").alias("key_b"),
-            cos.alias("cosine"),
-        )
+        pairs.select("key_a", "key_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
 

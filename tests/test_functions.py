@@ -327,3 +327,74 @@ def test_hash_sample_deterministic_and_stratified(spark):
     )
     for r in per:
         assert 0.15 < r["count"] / 800 < 0.35
+
+
+def test_embedding_near_dups_matches_expression_form(spark):
+    """The round-6 vectorized pair kernel must be BIT-identical to the
+    original Catalyst aggregate(zip_with(...)) join form — same pairs, same
+    cosine doubles — including zero vectors, duplicate vectors, and a low
+    threshold that makes most pairs candidates."""
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(120, 16)).astype(np.float32)
+    vecs[7] = vecs[3] + rng.normal(scale=0.001, size=16).astype(np.float32)
+    vecs[50] = vecs[51]  # exact duplicate
+    rows = [(i, v.tolist()) for i, v in enumerate(vecs)]
+    rows.append((500, [0.0] * 16))  # zero vector
+    rows.append((501, [0.0] * 16))
+    # shorter vectors: only equal-length rows can pair (zip_with pads the
+    # shorter side with null -> null cosine); 600/601 are near-identical
+    short = rng.normal(size=8).astype(np.float32)
+    rows.append((600, short.tolist()))
+    rows.append((601, (short + 0.001).astype(np.float32).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def expression_form(df, vec_col, key_col, threshold, n_planes, seed, dim):
+        norm = F.sqrt(
+            F.aggregate(
+                F.transform(F.col(vec_col), lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        bucketed = sim.lsh_index(df, vec_col, key_col, n_planes, seed, dim).withColumn("_norm", norm)
+        left, right = bucketed.alias("l"), bucketed.alias("r")
+        cos = F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}"),
+                    lambda x, y: x.cast("double") * y.cast("double"),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.nullif(F.col("l._norm") * F.col("r._norm"), F.lit(0.0)),
+            6,
+        )
+        return (
+            left.join(
+                right,
+                (F.col("l.bucket") == F.col("r.bucket"))
+                & (F.col(f"l.{key_col}") < F.col(f"r.{key_col}")),
+            )
+            .select(
+                F.col(f"l.{key_col}").alias("key_a"),
+                F.col(f"r.{key_col}").alias("key_b"),
+                cos.alias("cosine"),
+            )
+            .filter(F.col("cosine") >= threshold)
+        )
+
+    for threshold in (0.95, 0.2, -0.5):
+        got = {
+            (r["key_a"], r["key_b"], r["cosine"])
+            for r in ded.embedding_near_dups(
+                df, "embedding", "vec_id", threshold=threshold, n_planes=3, dim=16
+            ).collect()
+        }
+        want = {
+            (r["key_a"], r["key_b"], r["cosine"])
+            for r in expression_form(
+                df, "embedding", "vec_id", threshold, 3, 42, 16
+            ).collect()
+        }
+        assert got == want, f"threshold={threshold}: {got ^ want}"

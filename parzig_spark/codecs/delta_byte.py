@@ -108,17 +108,31 @@ def decode(blob, meta: dict, n: int) -> pa.Array:
     np.add.at(d, offsets + prefix, -1)
     is_suffix = np.cumsum(d[:total], dtype=np.int8) == 0
     out[is_suffix] = suffix_data
-    if n and prefix.max() > 0:
-        # Column-wise forward-fill for the first PREFIX_CAP byte positions.
-        k = np.arange(PREFIX_CAP, dtype=np.int64)
-        has_col = k[None, :] < lengths[:, None]  # value i has a byte at k
-        own = k[None, :] >= prefix[:, None]  # byte at k is its own (suffix)
-        rows = np.arange(n, dtype=np.int64)
-        src = np.where(own, rows[:, None], 0)
-        src = np.maximum.accumulate(src, axis=0)  # forward-fill row index
-        gather_pos = offsets[src] + k[None, :]
-        col_vals = np.where(has_col, out[np.minimum(gather_pos, total - 1)], 0)
-        write_pos = offsets[:, None] + k[None, :]
-        copy_mask = (~own) & has_col
-        out[write_pos[copy_mask]] = col_vals[copy_mask]
+    pmax = int(prefix.max()) if n else 0
+    if pmax > 0:
+        # Column-wise forward-fill for byte positions k < max prefix. Every
+        # copied byte reads a byte its source row OWNS (scattered above from
+        # suffix_data, never itself a copy), so copy order is irrelevant —
+        # which lets the row dimension chunk freely. Chunking matters: the
+        # old whole-table (n, 64) index/gather matrices allocated hundreds
+        # of MB of fresh temporaries per few-MB column, and this host faults
+        # fresh pages in at ~100 MB/s (CLAUDE.md) — a 187k-row decode spent
+        # 1.8 s here. Fixed-size chunks reuse allocator-recycled buffers and
+        # k stops at the real max prefix instead of PREFIX_CAP.
+        k = np.arange(pmax, dtype=np.int64)
+        carry = np.full(pmax, -1, dtype=np.int64)  # last owning row so far
+        chunk = max(1, (1 << 19) // max(pmax, 1))
+        for r0 in range(0, n, chunk):
+            r1 = min(r0 + chunk, n)
+            rows = np.arange(r0, r1, dtype=np.int64)
+            own = k[None, :] >= prefix[r0:r1, None]
+            src = np.where(own, rows[:, None], -1)
+            np.maximum.accumulate(src, axis=0, out=src)
+            src = np.maximum(src, carry[None, :])
+            carry = src[-1].copy()
+            copy_mask = ~own & (k[None, :] < lengths[r0:r1, None])
+            wi, wk = np.nonzero(copy_mask)
+            if wi.size:
+                srcv = src[wi, wk]
+                out[offsets[r0 + wi] + wk] = out[offsets[srcv] + wk]
     return dtypes.strings_from_buffers(lengths, out, meta["dtype"])

@@ -137,24 +137,63 @@ def lsh_index(
     seed: int = 42,
     dim: int | None = None,
 ) -> DataFrame:
-    """Attach an LSH bucket id column (Catalyst for small dims — zero
-    Python in the plan; vectorized pandas UDF above _CATALYST_DIM_CAP).
-    Pass ``dim`` to avoid the one-row dimension probe job."""
+    """Attach an LSH bucket id column. Pass ``dim`` to skip the one-row
+    dimension probe job.
+
+    Round 6: the Catalyst ``aggregate(zip_with(...))`` fold per plane was
+    interpreted per row per term (higher-order functions don't codegen) —
+    the dominant cost of ann_lsh_build and the bucketing stage of
+    embedding_near_dups. The vectorized kernel below runs the IDENTICAL
+    left-associated double fold (acc starts at 0.0; acc += x_j·w_j in
+    index order, one numpy op per term over the whole batch), so bucket
+    ids are bit-for-bit the expression form's — and therefore the SQL
+    oracle twins' (``bucket_expr``/``bucket_of`` remain those twins).
+    Catalyst null/length semantics are reproduced explicitly: a null vec,
+    a null element, or a length != dim nulls the dot for every plane
+    (zip_with pads the shorter side with null), so every bit is 0."""
     if dim is None:
         dim = _vector_dim(df, vec_col)
     planes = hyperplanes(dim, n_planes, seed)
-    if dim <= _CATALYST_DIM_CAP:
-        return df.select(key_col, vec_col).withColumn("bucket", bucket_expr(vec_col, planes))
+
+    # Null semantics are decided JVM-side (pandas blurs null into NaN, and
+    # the two differ under Spark comparisons: a null dot -> when(...)
+    # otherwise 0 -> bit 0, while a genuine-NaN dot compares NaN > 0 ->
+    # TRUE in Spark). A null vec or any null element nulls every plane's
+    # dot -> bucket 0; the kernel reproduces the NaN branch with
+    # (acc > 0) | isnan(acc).
+    null_flag = (
+        F.col(vec_col).isNull()
+        | F.exists(F.col(vec_col), lambda x: x.isNull())
+    ).alias("_vnull")
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            out = pdf.copy()
-            out["bucket"] = _bucket_codes(mat, planes)
+            vecs = pdf[vec_col].to_numpy()
+            n = len(pdf)
+            buckets = np.zeros(n, dtype=np.int64)
+            vnull = pdf["_vnull"].to_numpy(dtype=bool)
+            lens = np.fromiter(
+                ((len(v) if v is not None else -1) for v in vecs), np.int64, n
+            )
+            # zip_with pads length mismatches with null -> null dots ->
+            # bucket 0, same as the null rows
+            sel = np.flatnonzero((lens == dim) & ~vnull)
+            if sel.size:
+                V = np.stack([np.asarray(vecs[i], dtype=np.float64) for i in sel])
+                b = np.zeros(len(sel), dtype=np.int64)
+                for i, row in enumerate(planes):
+                    acc = np.zeros(len(sel))
+                    for j in range(dim):
+                        acc += V[:, j] * row[j]  # exact fold order
+                    bit = (acc > 0) | np.isnan(acc)  # Spark: NaN > 0 is true
+                    b |= bit.astype(np.int64) << i
+                buckets[sel] = b
+            out = pdf[[pdf.columns[0], pdf.columns[1]]].copy()
+            out["bucket"] = buckets
             yield out
 
     kt, vt = dict(df.dtypes)[key_col], dict(df.dtypes)[vec_col]
-    return df.select(key_col, vec_col).mapInPandas(
+    return df.select(key_col, vec_col, null_flag).mapInPandas(
         assign, schema=f"{key_col} {kt}, {vec_col} {vt}, bucket long"
     )
 

@@ -398,3 +398,32 @@ def test_embedding_near_dups_matches_expression_form(spark):
             ).collect()
         }
         assert got == want, f"threshold={threshold}: {got ^ want}"
+
+
+def test_lsh_index_matches_catalyst_fold(spark):
+    """Round-6 vectorized lsh_index must assign bit-identical buckets to
+    the Catalyst aggregate(zip_with(...)) expression form, including NaN
+    elements (Spark: NaN dot > 0 is TRUE), null elements (null dot -> bit
+    0), null vecs, and length-mismatched vecs."""
+    rng = np.random.default_rng(9)
+    rows = [(i, rng.normal(size=16).astype(np.float32).tolist()) for i in range(200)]
+    rows.append((900, None))
+    rows.append((901, [float("nan")] * 16))
+    v = rng.normal(size=16).astype(np.float32).tolist()
+    v[3] = None
+    rows.append((902, v))
+    rows.append((903, rng.normal(size=8).astype(np.float32).tolist()))  # short
+    rows.append((904, [float("inf"), float("-inf")] + [0.0] * 14))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    planes = sim.hyperplanes(16, 5, 42)
+    want = {
+        (r["vec_id"], r["bucket"])
+        for r in df.select("vec_id", "embedding")
+        .withColumn("bucket", sim.bucket_expr("embedding", planes))
+        .collect()
+    }
+    got = {
+        (r["vec_id"], r["bucket"])
+        for r in sim.lsh_index(df, "embedding", "vec_id", 5, 42, 16).collect()
+    }
+    assert got == want, got ^ want

@@ -1017,9 +1017,11 @@ def q_roundtrip_forced_codecs(spark, sf_dir):
         )
     )
     root = tempfile.mkdtemp(prefix="parzig_forced_")
+    # 4 MB target: the 1-in-8 sample is a few MB — one 32 MB bucket ran the
+    # forced codec lanes in a single task (measured 2.9s -> 2.4s)
     encode_table(
         src, root, group_cols=["o_orderstatus"], salt_cols=["o_orderkey"],
-        target_bytes=32 << 20, resume=False, outer="snappy",
+        target_bytes=4 << 20, resume=False, outer="snappy",
         codec_overrides={
             "key_mod": "bitpack",
             "o_orderpriority": "delta_byte",
@@ -1060,9 +1062,13 @@ def q_roundtrip_nested(spark, sf_dir):
         F.array(F.col("c_custkey"), F.col("c_nationkey").cast("long")).alias("ca"),
     )
     root = tempfile.mkdtemp(prefix="parzig_nested_")
+    # 4 MB partition target: this table is ~12 MB — a 32 MB target made ONE
+    # bucket, serializing every nested kernel + the gzip outer into a
+    # single task (bucket count is a data property; sizing the target to
+    # the table is how a fixed small input fans out; measured 3.9s -> 2.6s)
     encode_table(
         src, root, group_cols=["c_mktsegment"], salt_cols=["c_custkey"],
-        target_bytes=32 << 20, resume=False, outer="gzip",
+        target_bytes=4 << 20, resume=False, outer="gzip",
     ).count()
     dec = decode_table(spark, root)
     return (
@@ -1440,8 +1446,12 @@ def q_join_segment_revenue(spark, sf_dir):
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # SHUFFLE_HASH (guide §3.1): orders is the bounded dimension side of
+    # the fact join — building a per-partition hash map skips sorting BOTH
+    # 6M-row inputs (planner kept picking sort-merge from size estimates;
+    # measured 2.1s -> 1.0s). AQE skew handling still applies.
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        li.join(orders.hint("SHUFFLE_HASH"), li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
@@ -1459,16 +1469,22 @@ def q_dedup_exact(spark, sf_dir):
     # group sizes come from fingerprinting all documents, the keeper from
     # the dedup operator itself — so corpora with real duplicates (sf0.1
     # has 8) agree with the oracle instead of collapsing every group to 1.
+    # Round 6: one fingerprint pass + one aggregation. The old form ran the
+    # md5 normalization twice (dedup_exact AND tx.fingerprint) and paid a
+    # window + self-join; "lowest key per fp group" IS min(doc_id) per fp,
+    # so keeper and group size come out of a single partial-aggregating
+    # groupBy (guide §2.3). Same rows, same oracle.
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    kept = ded.dedup_exact(docs, "text", "doc_id").select(
-        "fp", F.col("doc_id").alias("keeper")
-    )
-    sizes = (
+    return (
         tx.fingerprint(docs, "text", ["doc_id"])
         .groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .agg(
+            F.min("doc_id").alias("keeper"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select("fp", "keeper", "n_rows")
+        .orderBy("fp")
     )
-    return kept.join(sizes, "fp").select("fp", "keeper", "n_rows").orderBy("fp")
 
 
 def q_doc_fingerprints(spark, sf_dir):
@@ -1766,7 +1782,7 @@ def q_roundtrip_decimal(spark, sf_dir):
     root = tempfile.mkdtemp(prefix="parzig_dec_")
     encode_table(
         src, root, group_cols=["l_returnflag"], salt_cols=["l_orderkey"],
-        target_bytes=32 << 20, resume=False,
+        target_bytes=8 << 20, resume=False,
     ).count()
     dec = decode_table(spark, root)
     return (

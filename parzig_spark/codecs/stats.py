@@ -256,6 +256,18 @@ def column_distinct(arr: pa.Array) -> str | None:
     # cardinality columns still take one full pass (the set must be exact
     # over every value), which is the same order of work their dict
     # encoding already does.
+    if is_str:
+        # Instant bail for long-text columns: a value over 4×MAX_CHARS
+        # BYTES is over MAX_CHARS characters for certain (UTF-8 ≤ 4
+        # bytes/char), so the per-value loop below would return None on
+        # reaching it anyway — but only after pa.compute.unique had
+        # hashed megabytes of text and to_pylist had materialized it
+        # (measured ~1 ms/MB of the encode task on the corpus content
+        # column). One vectorized length scan decides it up front; the
+        # recorded stat is unchanged for every eligible column.
+        max_bytes = pa.compute.max(pa.compute.binary_length(a)).as_py()
+        if max_bytes is not None and max_bytes > 4 * DISTINCT_MAX_CHARS:
+            return None
     seen: set = set()
     pos, chunk = 0, 4096
     while pos < len(a):

@@ -63,14 +63,75 @@ def cosine_topk(
 ) -> DataFrame:
     """Brute-force cosine top-k against a one-row query DataFrame.
 
-    The query side is crossJoin-broadcast (one row); scoring is pure
-    Catalyst expressions, so the scan stays column-pruned and codegen'd;
-    the global top-k is a k-row sort (Spark TakeOrderedAndProject).
+    The query side is crossJoin-broadcast (one row). Round 6: scoring
+    runs as a vectorized exact-fold kernel (the `_cosine_expr`
+    higher-order expressions are interpreted per row per term — the
+    dominant cost of every brute-force/recall lane). The kernel emits the
+    EXACT left-associated dot and the two norms (identical IEEE op
+    sequence to the expression fold); division, HALF_UP rounding and the
+    top-k sort stay Spark expressions, so results — including the
+    original's NaN-for-zero-norm ordering (NaN sorts above every number
+    in a desc sort) — are bit-identical. Rows where Spark would null the
+    cosine (null vec, null element, length mismatch vs the query) are
+    flagged JVM-side and emitted as null pieces.
     """
     q = query.select(F.col(vec_col).alias("_q"))
-    scored = df.crossJoin(F.broadcast(q)).select(
-        F.col(key_col),
-        F.round(_cosine_expr(vec_col, "_q"), 6).alias("cosine"),
+    joined = df.crossJoin(F.broadcast(q))
+    null_flag = (
+        F.col(vec_col).isNull()
+        | F.exists(F.col(vec_col), lambda x: x.isNull())
+        | F.col("_q").isNull()
+        | F.exists(F.col("_q"), lambda x: x.isNull())
+        | (F.size(vec_col) != F.size("_q"))
+    ).alias("_vnull")
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            out = pd.DataFrame({"key": pdf.iloc[:, 0]})
+            if n == 0:
+                out["_dot"] = pd.Series([], dtype="float64")
+                out["_nv"] = pd.Series([], dtype="float64")
+                out["_nq"] = pd.Series([], dtype="float64")
+                yield out
+                continue
+            vnull = pdf["_vnull"].to_numpy(dtype=bool)
+            ok = np.flatnonzero(~vnull)
+            dots = np.full(n, np.nan)
+            nvs = np.full(n, np.nan)
+            nqs = np.full(n, np.nan)
+            if ok.size:
+                vecs = pdf[vec_col].to_numpy()
+                qv = np.asarray(pdf["_q"].to_numpy()[ok[0]], dtype=np.float64)
+                V = np.stack([np.asarray(vecs[i], dtype=np.float64) for i in ok])
+                d = qv.shape[0]
+                dot = np.zeros(len(ok))
+                nv = np.zeros(len(ok))
+                nq = 0.0
+                for j in range(d):
+                    dot += V[:, j] * qv[j]  # exact fold order
+                    nv += V[:, j] * V[:, j]
+                    nq = nq + qv[j] * qv[j]
+                dots[ok] = dot
+                nvs[ok] = np.sqrt(nv)
+                nqs[ok] = np.sqrt(nq)
+            out["_dot"] = dots
+            out["_nv"] = nvs
+            out["_nq"] = nqs
+            if vnull.any():
+                for c in ("_dot", "_nv", "_nq"):
+                    col = out[c].astype(object)
+                    col[vnull] = None
+                    out[c] = col
+            yield out
+
+    kt = dict(df.dtypes)[key_col]
+    pieces = joined.select(key_col, vec_col, "_q", null_flag).mapInPandas(
+        score, schema=f"key {kt}, _dot double, _nv double, _nq double"
+    )
+    scored = pieces.select(
+        F.col("key").alias(key_col),
+        F.round(F.col("_dot") / (F.col("_nv") * F.col("_nq")), 6).alias("cosine"),
     )
     return scored.orderBy(F.col("cosine").desc(), F.col(key_col)).limit(k)
 

@@ -398,3 +398,48 @@ def test_stream_pin_survives_gc(spark, tmp_path):
     assert drain() == list(range(2_000))
     # the pin advanced with the commit
     assert read_ref(root, "stream-t1")["snapshot"] > pinned_v
+
+
+def test_writer_chunked_staging_batch_size_invariant(spark, tmp_path):
+    """Round-6 chunked writer (VERDICT r5 #3): a task stages one pid per
+    ~target_bytes of CONTENT instead of materializing the whole task, and
+    chunk boundaries derive from exact per-row content bytes — so staged
+    pids are byte-identical under any Arrow batch size."""
+    from parzig_spark.plans.manifest import ManifestStore
+
+    register_datasource(spark)
+    df = _src(spark, 6_000).coalesce(1)  # ONE task -> multi-chunk staging
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    got = {}
+    try:
+        for rows in (128, 1024, 4096):
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(rows))
+            root = str(tmp_path / f"w{rows}")
+            (df.write.format("parzig").mode("append")
+               .option("target_bytes", 16 << 10).save(root))
+            got[rows] = sorted(ManifestStore(root).committed_pids())
+            assert decode_table(spark, root).count() == 6_000
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert len(got[128]) > 1, "expected a multi-chunk task"
+    assert got[128] == got[1024] == got[4096], got
+
+
+def test_writer_duplicate_chunk_content_fails_loudly(spark, tmp_path):
+    """r5 ADVICE: two distinct chunks of ONE write with identical content
+    would stage the same content-derived pid and silently seal one copy —
+    the commit must refuse instead of dropping rows."""
+    import pytest
+
+    register_datasource(spark)
+    # two explicit RDD partitions carrying IDENTICAL rows (union/coalesce
+    # forms get collapsed to one partition by the optimizer/AQE)
+    rows = [(i % 6, i, f"cat{i % 6}") for i in range(500)]
+    dup = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows * 2, 2),
+        "grp int, k long, cat string",
+    )
+    assert dup.rdd.getNumPartitions() == 2
+    root = str(tmp_path / "wdup")
+    with pytest.raises(Exception, match="identical content"):
+        dup.write.format("parzig").mode("append").save(root)

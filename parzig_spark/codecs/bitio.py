@@ -45,16 +45,48 @@ def pack_bits_le(values: np.ndarray, width: int) -> bytes:
 
     Matches the bit order the reference's BitReader consumes
     (/root/reference/src/parquet/BitReader.zig:39-55).
+
+    Fast path (width ≤ 56, the symmetric twin of unpack's 8-byte gather):
+    8 values always span exactly ``width`` BYTES, so blocks of 8 pack into
+    ceil(width/8) uint64 lane accumulators with one constant-shift OR per
+    (value, lane) — ~width/8 bytes of traffic per value instead of the 64+
+    of the (n, 64) bit-matrix route it replaces (which encode throughput
+    of every FOR/bitpack/RLE lane was bound by).
     """
     n = len(values)
     if n == 0 or width == 0:
         return b""
     if width > 64:
         raise ValueError(f"width {width} > 64")
+    out_bytes = (n * width + 7) // 8
+    if width > 56:
+        v = np.ascontiguousarray(values, dtype="<u8")
+        bits = np.unpackbits(v.view(np.uint8).reshape(n, 8), axis=1, bitorder="little")[:, :width]
+        return np.packbits(bits.reshape(-1), bitorder="little").tobytes()
     v = np.ascontiguousarray(values, dtype="<u8")
-    # (n, 64) bit matrix, LSB-first, then take the low `width` bits per value.
-    bits = np.unpackbits(v.view(np.uint8).reshape(n, 8), axis=1, bitorder="little")[:, :width]
-    return np.packbits(bits.reshape(-1), bitorder="little").tobytes()
+    mask = np.uint64((1 << width) - 1)
+    nb = (n + 7) // 8
+    if n != nb * 8:
+        vp = np.zeros(nb * 8, dtype="<u8")
+        vp[:n] = v
+        v = vp
+    blocks = v.reshape(nb, 8)
+    n_lanes = (width + 7) // 8  # 64-bit lanes per 8-value block
+    lanes = np.zeros((nb, n_lanes), dtype="<u8")
+    for i in range(8):
+        col = blocks[:, i] & mask
+        start = i * width
+        for j in range(n_lanes):
+            rel = start - 64 * j
+            if rel >= 64 or rel <= -width:
+                continue
+            if rel >= 0:
+                lanes[:, j] |= col << np.uint64(rel)
+            else:
+                lanes[:, j] |= col >> np.uint64(-rel)
+    # each block contributes exactly `width` bytes, little-endian
+    block_bytes = lanes.view(np.uint8).reshape(nb, n_lanes * 8)[:, :width]
+    return np.ascontiguousarray(block_bytes).reshape(-1)[:out_bytes].tobytes()
 
 
 def unpack_bits_le(buf: bytes | np.ndarray, n: int, width: int, offset_bits: int = 0) -> np.ndarray:

@@ -1780,9 +1780,12 @@ def q_roundtrip_decimal(spark, sf_dir):
         F.col("l_extendedprice").cast("decimal(15,2)").alias("price_dec"),
     )
     root = tempfile.mkdtemp(prefix="parzig_dec_")
+    # 16 MB target (interleaved best-of-3 A/B: 16M 5.87s < 32M 6.38 <
+    # 8M 6.54 — ~10 buckets fill one task wave; more buckets only add
+    # per-bucket manifest/blob overhead against a per-row boundary floor)
     encode_table(
         src, root, group_cols=["l_returnflag"], salt_cols=["l_orderkey"],
-        target_bytes=8 << 20, resume=False,
+        target_bytes=16 << 20, resume=False,
     ).count()
     dec = decode_table(spark, root)
     return (
